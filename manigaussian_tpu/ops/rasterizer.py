@@ -1,0 +1,260 @@
+"""Production TPU Gaussian-splat rasterizer: project → bin → sort → tile blend.
+
+TPU-native redesign of the reference CUDA pipeline
+(`cuda_rasterizer/rasterizer_impl.cu:198-355`):
+
+  CUDA                                      here (XLA/TPU)
+  ----------------------------------------  -----------------------------------------
+  preprocessCUDA per-thread loop            vectorized jnp over N (ops/gaussian_math)
+  cub InclusiveSum over tiles_touched       static-capacity duplication (no scan)
+  duplicateWithKeys 64-bit [tile|depth]     (tile_id, depth_rank) two-key lax.sort
+  cub DeviceRadixSort                       jax.lax.sort (stable)
+  identifyTileRanges kernel                 jnp.searchsorted over sorted tile ids
+  renderCUDA 16x16 thread blocks,           per-tile gather + chunked scan where the
+    sequential shared-mem batches             blend is a cumulative-sum reformulation:
+                                              weights w_i = a_i·exp(Σ_{j<i}log(1-a_j))
+                                              and color = wᵀ·rgb runs on the MXU
+  atomicAdd gradient scatter (backward.cu)  jax autodiff through the (associative)
+                                              formulation → deterministic segment math
+
+Static-shape design (XLA requires it):
+  * each Gaussian emits up to `max_tiles_per_gaussian` (tile-rect slots, row-major);
+    splats with larger rects are truncated — tracked in `overflow_gaussians`.
+  * each tile blends at most `tile_capacity` front-most splats; the overflowed tail
+    is dropped — tracked in `overflow_splats`. Set capacities ≥ worst case for exact
+    parity with the oracle/CUDA; the defaults comfortably cover the ManiGaussian
+    workload (16k–65k Gaussians at 128², SURVEY.md §6).
+
+Blend semantics (skip rules, 0.99 alpha clamp, T<1e-4 termination latch, background
+composite) are bit-for-bit the ones in `forward.cu:262-398` — shared with the oracle
+via ops/rasterizer_ref.effective_alpha/blend_weights equations.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from manigaussian_tpu.ops import gaussian_math as gm
+from manigaussian_tpu.ops.rasterizer_ref import (ALPHA_MAX, ALPHA_MIN, T_EPS,
+                                                 RenderOutput)
+
+
+class RasterizeConfig(NamedTuple):
+    width: int = 128
+    height: int = 128
+    tile: int = 16
+    max_tiles_per_gaussian: int = 16   # R_cap: per-splat duplicate slots
+    tile_capacity: int = 2048          # K_cap: blended splats per tile
+    chunk: int = 256                   # splats blended per scan step
+    sh_degree: int = 1
+
+
+class RasterizeExtras(NamedTuple):
+    overflow_splats: jnp.ndarray     # scalar int32: splats dropped by tile_capacity
+    overflow_gaussians: jnp.ndarray  # scalar int32: rect slots dropped by R_cap
+    tile_counts: jnp.ndarray         # [tiles] int32 splats binned per tile
+
+
+def _build_keys(pre: gm.ProjectedGaussians, cfg: RasterizeConfig):
+    """Duplicate each Gaussian into its tile-rect slots and sort by (tile, depth).
+
+    Replaces duplicateWithKeys + radix sort (rasterizer_impl.cu:70-111, 303-311).
+    Returns (sorted_tile_ids [D], sorted_gaussian_idx [D]) with invalid entries
+    carrying tile_id == num_tiles (sorted to the end).
+    """
+    n = pre.depths.shape[0]
+    tiles_x = (cfg.width + cfg.tile - 1) // cfg.tile
+    tiles_y = (cfg.height + cfg.tile - 1) // cfg.tile
+    num_tiles = tiles_x * tiles_y
+    r_cap = cfg.max_tiles_per_gaussian
+
+    # Front-to-back rank per gaussian (the depth part of the CUDA 64-bit key).
+    sort_depth = jnp.where(pre.valid, pre.depths, jnp.inf)
+    order = jnp.argsort(sort_depth)                      # rank -> gaussian
+    ranks = jnp.zeros((n,), jnp.int32).at[order].set(
+        jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1))
+
+    rect_w = pre.rect_max[:, 0] - pre.rect_min[:, 0]     # [N]
+    slot = jax.lax.broadcasted_iota(jnp.int32, (n, r_cap), 1)
+    rect_w_safe = jnp.maximum(rect_w, 1)[:, None]
+    dx = slot % rect_w_safe
+    dy = slot // rect_w_safe
+    tile_x = pre.rect_min[:, 0:1] + dx
+    tile_y = pre.rect_min[:, 1:2] + dy
+    in_rect = slot < pre.tiles_touched[:, None]
+    dup_valid = in_rect & pre.valid[:, None]
+    tile_id = jnp.where(dup_valid, tile_y * tiles_x + tile_x, num_tiles)
+
+    gidx = jax.lax.broadcasted_iota(jnp.int32, (n, r_cap), 0)
+    rank_b = jnp.broadcast_to(ranks[:, None], (n, r_cap))
+
+    sorted_tile, _sorted_rank, sorted_gidx = jax.lax.sort(
+        (tile_id.reshape(-1), rank_b.reshape(-1), gidx.reshape(-1)),
+        num_keys=2, is_stable=True)
+
+    overflow_gaussians = jnp.sum(
+        jnp.maximum(pre.tiles_touched - r_cap, 0)).astype(jnp.int32)
+    return sorted_tile, sorted_gidx, overflow_gaussians, num_tiles
+
+
+def _tile_gather(sorted_tile, sorted_gidx, num_tiles, k_cap):
+    """Per-tile front-most splat lists (identifyTileRanges analog).
+
+    Returns (gidx [T, K], in_list [T, K] bool, counts [T], overflow scalar).
+    """
+    d = sorted_tile.shape[0]
+    tids = jax.lax.broadcasted_iota(jnp.int32, (num_tiles, 1), 0).squeeze(-1)
+    starts = jnp.searchsorted(sorted_tile, tids, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(sorted_tile, tids, side="right").astype(jnp.int32)
+    counts = ends - starts
+    k = jax.lax.broadcasted_iota(jnp.int32, (num_tiles, k_cap), 1)
+    pos = jnp.clip(starts[:, None] + k, 0, d - 1)
+    in_list = k < jnp.minimum(counts, k_cap)[:, None]
+    gidx = sorted_gidx[pos]
+    overflow = jnp.sum(jnp.maximum(counts - k_cap, 0)).astype(jnp.int32)
+    return gidx, in_list, counts, overflow
+
+
+def _blend_tiles(pre: gm.ProjectedGaussians, lang: jnp.ndarray,
+                 gidx: jnp.ndarray, in_list: jnp.ndarray,
+                 cfg: RasterizeConfig, bg_color: jnp.ndarray):
+    """Chunked front-to-back blend over each tile's splat list.
+
+    The per-chunk math mirrors renderCUDA's inner loop exactly but is expressed as
+    cumulative sums + two matmuls per chunk so the MXU does the heavy lifting.
+    """
+    tiles_x = (cfg.width + cfg.tile - 1) // cfg.tile
+    num_tiles, k_cap = gidx.shape
+    p = cfg.tile * cfg.tile
+    chunk = min(cfg.chunk, k_cap)
+    assert k_cap % chunk == 0, "tile_capacity must be a multiple of chunk"
+    n_chunks = k_cap // chunk
+
+    # Pixel coordinates per tile: [T, P, 2]
+    t_ids = jax.lax.broadcasted_iota(jnp.int32, (num_tiles, 1), 0).squeeze(-1)
+    origin_x = (t_ids % tiles_x) * cfg.tile
+    origin_y = (t_ids // tiles_x) * cfg.tile
+    local = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0).squeeze(-1)
+    lx = (local % cfg.tile)[None, :] + origin_x[:, None]
+    ly = (local // cfg.tile)[None, :] + origin_y[:, None]
+    pix_x = lx.astype(jnp.float32)
+    pix_y = ly.astype(jnp.float32)
+
+    n_channels = pre.rgb.shape[-1]
+    f_channels = lang.shape[-1]
+
+    gidx_c = gidx.reshape(num_tiles, n_chunks, chunk)
+    in_list_c = in_list.reshape(num_tiles, n_chunks, chunk)
+
+    def body(carry, inputs):
+        log_t_raw, log_t_final, fail_any, color_acc, lang_acc = carry
+        gi, live = inputs                                  # [T, CH], [T, CH]
+        xy = pre.means2d[gi]                               # [T, CH, 2]
+        con = pre.conic[gi]                                # [T, CH, 3]
+        op = pre.opacity[gi]                               # [T, CH]
+        rgb = pre.rgb[gi]                                  # [T, CH, 3]
+        lf = lang[gi]                                      # [T, CH, F]
+
+        dx = xy[..., 0][:, :, None] - pix_x[:, None, :]    # [T, CH, P]
+        dy = xy[..., 1][:, :, None] - pix_y[:, None, :]
+        power = (-0.5 * (con[..., 0][:, :, None] * dx * dx
+                         + con[..., 2][:, :, None] * dy * dy)
+                 - con[..., 1][:, :, None] * dx * dy)
+        power_safe = jnp.minimum(power, 0.0)
+        alpha = jnp.minimum(ALPHA_MAX, op[:, :, None] * jnp.exp(power_safe))
+        active = (power <= 0.0) & (alpha >= ALPHA_MIN) & live[:, :, None]
+        a = jnp.where(active, alpha, 0.0)                  # [T, CH, P]
+
+        log1m = jnp.log1p(-a)
+        csum = jnp.cumsum(log1m, axis=1)
+        t_before = jnp.exp(csum - log1m + log_t_raw[:, None, :])
+        test_t = t_before * (1.0 - a)
+        fail = test_t < T_EPS
+        fail_i = fail.astype(jnp.int32)
+        term_before = ((jnp.cumsum(fail_i, axis=1) - fail_i) > 0) | fail_any[:, None, :]
+        contrib = jnp.logical_not(term_before) & jnp.logical_not(fail)
+        w = jnp.where(contrib, a * t_before, 0.0)          # [T, CH, P]
+
+        color_acc = color_acc + jnp.einsum(
+            "tkp,tkc->tpc", w, rgb, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        lang_acc = lang_acc + jnp.einsum(
+            "tkp,tkc->tpc", w, lf, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+        log_t_raw = log_t_raw + csum[:, -1, :]
+        log_t_final = log_t_final + jnp.sum(jnp.where(contrib, log1m, 0.0), axis=1)
+        fail_any = fail_any | jnp.any(fail, axis=1)
+        return (log_t_raw, log_t_final, fail_any, color_acc, lang_acc), None
+
+    init = (jnp.zeros((num_tiles, p), jnp.float32),
+            jnp.zeros((num_tiles, p), jnp.float32),
+            jnp.zeros((num_tiles, p), jnp.bool_),
+            jnp.zeros((num_tiles, p, n_channels), jnp.float32),
+            jnp.zeros((num_tiles, p, f_channels), jnp.float32))
+    xs = (jnp.moveaxis(gidx_c, 1, 0), jnp.moveaxis(in_list_c, 1, 0))
+    (_, log_t_final, _, color_acc, lang_acc), _ = jax.lax.scan(
+        jax.checkpoint(body), init, xs)
+
+    final_t = jnp.exp(log_t_final)                          # [T, P]
+    color = color_acc + final_t[..., None] * bg_color[None, None, :]
+
+    def untile(img):                                        # [T, P, C] -> [H, W, C]
+        c = img.shape[-1]
+        img = img.reshape((cfg.height + cfg.tile - 1) // cfg.tile, tiles_x,
+                          cfg.tile, cfg.tile, c)
+        img = jnp.moveaxis(img, 2, 1).reshape(
+            ((cfg.height + cfg.tile - 1) // cfg.tile) * cfg.tile,
+            tiles_x * cfg.tile, c)
+        return img[:cfg.height, :cfg.width]
+
+    return (untile(color), untile(lang_acc),
+            untile(final_t[..., None])[..., 0])
+
+
+def rasterize(means3d: jnp.ndarray,
+              opacities: jnp.ndarray,
+              camera,
+              cfg: RasterizeConfig,
+              bg_color,
+              scales: jnp.ndarray | None = None,
+              rotations: jnp.ndarray | None = None,
+              cov3d_precomp: jnp.ndarray | None = None,
+              shs: jnp.ndarray | None = None,
+              colors_precomp: jnp.ndarray | None = None,
+              language_features: jnp.ndarray | None = None,
+              scale_modifier: float = 1.0) -> tuple[RenderOutput, RasterizeExtras]:
+    """Render one view with the production tile pipeline. Differentiable.
+
+    API parity: GaussianRasterizer.__call__
+    (diff_gaussian_rasterization/__init__.py:181-233) → (color, language_feature,
+    radii); plus final_T and overflow diagnostics.
+    """
+    pre = gm.preprocess(means3d, opacities, camera, cfg.width, cfg.height, cfg.tile,
+                        scales=scales, rotations=rotations,
+                        cov3d_precomp=cov3d_precomp, shs=shs,
+                        colors_precomp=colors_precomp, sh_degree=cfg.sh_degree,
+                        scale_modifier=scale_modifier)
+
+    sorted_tile, sorted_gidx, overflow_g, num_tiles = _build_keys(pre, cfg)
+    gidx, in_list, counts, overflow_s = _tile_gather(
+        sorted_tile, sorted_gidx, num_tiles, cfg.tile_capacity)
+
+    if language_features is None:
+        lang = jnp.zeros((means3d.shape[0], 3), dtype=jnp.float32)
+    else:
+        lang = language_features
+
+    bg = jnp.asarray(bg_color, dtype=jnp.float32)
+    color, lang_img, final_t = _blend_tiles(pre, lang, gidx, in_list, cfg, bg)
+
+    out = RenderOutput(color=color, language_feature=lang_img,
+                       radii=pre.radii, final_t=final_t)
+    extras = RasterizeExtras(overflow_splats=overflow_s,
+                             overflow_gaussians=overflow_g,
+                             tile_counts=counts)
+    return out, extras

@@ -1,0 +1,19 @@
+"""Test harness: force an 8-device virtual CPU mesh (no TPU needed in CI).
+
+Must set env vars before jax is imported anywhere (SURVEY.md §4: multi-device tests
+via xla_force_host_platform_device_count).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The axon TPU plugin ignores JAX_PLATFORMS; the legacy var does force CPU.
+os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
