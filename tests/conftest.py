@@ -6,9 +6,11 @@ via xla_force_host_platform_device_count).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-# The axon TPU plugin ignores JAX_PLATFORMS; the legacy var does force CPU.
-os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+# FORCE CPU: the session env pre-sets JAX_PLATFORMS=axon (remote TPU tunnel) and a
+# sitecustomize module imports jax at interpreter startup, freezing that choice —
+# env edits here are too late; only jax.config.update can switch the platform.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,4 +18,5 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
