@@ -1,0 +1,227 @@
+"""Configuration tree for the TPU ManiGaussian framework.
+
+Mirrors the reference Hydra config keys (`conf/config.yaml`,
+`conf/method/ManiGaussian_BC.yaml`, `conf/eval.yaml`) so the four launch-variant
+scripts (w_geo / w_geo_dyna / w_geo_sem / w_geo_sem_dyna,
+`scripts/train_and_eval_w_geo*.sh`) port 1:1, but as typed frozen dataclasses:
+jit-safe static arguments, no runtime YAML dependency (a YAML loader that fills
+these dataclasses lives in utils/config_io.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class MLPConfig:
+    """cfg.method.neural_renderer.mlp (ManiGaussian_BC.yaml:131-146)."""
+    n_blocks: int = 5
+    d_hidden: int = 512
+    combine_layer: int = 3
+    beta: float = 0.0
+    use_spade: bool = False
+    opacity_scale: float = 1.0
+    opacity_bias: float = -2.0
+    scale_bias: float = 0.02
+    scale_scale: float = 0.003
+    xyz_scale: float = 0.1
+    xyz_bias: float = 0.0
+    max_sh_degree: int = 1
+
+
+@dataclass(frozen=True)
+class NextMLPConfig:
+    """cfg.method.neural_renderer.next_mlp (ManiGaussian_BC.yaml:148-160)."""
+    d_hidden: int = 512
+    n_blocks: int = 5
+    combine_layer: int = 3
+    warm_up: int = 3000
+    use_action: bool = True
+
+
+@dataclass(frozen=True)
+class NeuralRendererConfig:
+    """cfg.method.neural_renderer (ManiGaussian_BC.yaml:83-165)."""
+    render_freq: int = 1000
+    use_dynamic_field: bool = False
+    lambda_nerf: float = 0.01
+    lambda_embed: float = 0.01
+    lambda_rgb: float = 1.0
+    lambda_dyna: float = 0.01
+    bg_color: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    zfar: float = 4.0
+    znear: float = 0.1
+    foundation_model_name: Optional[str] = None  # None | 'diffusion' | 'dinov2'
+    d_embed: int = 3
+    loss_embed_fn: str = "cosine"
+    d_latent: int = 128
+    d_lang: int = 128
+    image_width: int = 128
+    image_height: int = 128
+    coordinate_bounds: Tuple[float, ...] = (-0.3, -0.5, 0.6, 0.7, 0.5, 1.6)
+    mlp: MLPConfig = field(default_factory=MLPConfig)
+    next_mlp: NextMLPConfig = field(default_factory=NextMLPConfig)
+    # TPU rasterizer capacities (no reference analog; see ops/rasterizer.py)
+    tile: int = 16
+    max_tiles_per_gaussian: int = 16
+    tile_capacity: int = 2048
+    chunk: int = 256
+
+
+@dataclass(frozen=True)
+class MethodConfig:
+    """cfg.method (ManiGaussian_BC.yaml top level)."""
+    name: str = "ManiGaussian_BC"
+    use_depth: bool = True
+    use_neural_rendering: bool = True
+    num_view_for_nerf: int = 20
+    language_model: str = "CLIP"
+    language_model_dim: int = 512
+    # voxelization
+    image_crop_size: int = 64
+    bounds_offset: Tuple[float, ...] = (0.15,)
+    voxel_sizes: Tuple[int, ...] = (100,)
+    # perceiver
+    num_latents: int = 2048
+    latent_dim: int = 512
+    transformer_depth: int = 6
+    transformer_iterations: int = 1
+    cross_heads: int = 1
+    cross_dim_head: int = 64
+    latent_heads: int = 8
+    latent_dim_head: int = 64
+    voxel_patch_size: int = 5
+    voxel_patch_stride: int = 5
+    final_dim: int = 128
+    # training
+    input_dropout: float = 0.1
+    attn_dropout: float = 0.1
+    decoder_dropout: float = 0.0
+    lr: float = 0.0005
+    lr_scheduler: bool = False
+    num_warmup_steps: int = 3000
+    optimizer: str = "lamb"
+    lambda_weight_l2: float = 1e-6
+    trans_loss_weight: float = 1.0
+    rot_loss_weight: float = 1.0
+    grip_loss_weight: float = 1.0
+    collision_loss_weight: float = 1.0
+    rotation_resolution: int = 5
+    activation: str = "lrelu"
+    # augmentation
+    crop_augmentation: bool = True
+    apply_se3: bool = True
+    aug_xyz: Tuple[float, float, float] = (0.125, 0.125, 0.125)
+    aug_rpy: Tuple[float, float, float] = (0.0, 0.0, 45.0)
+    # ablations
+    no_skip_connection: bool = False
+    no_perceiver: bool = False
+    no_language: bool = False
+    keypoint_method: str = "heuristic"
+    lambda_bc: float = 1.0
+    neural_renderer: NeuralRendererConfig = field(default_factory=NeuralRendererConfig)
+
+
+@dataclass(frozen=True)
+class RLBenchConfig:
+    """cfg.rlbench (conf/config.yaml)."""
+    tasks: Tuple[str, ...] = ("open_drawer",)
+    demos: int = 20
+    demo_path: str = ""
+    episode_length: int = 25
+    cameras: Tuple[str, ...] = ("front",)
+    camera_resolution: Tuple[int, int] = (128, 128)
+    scene_bounds: Tuple[float, ...] = (-0.3, -0.5, 0.6, 0.7, 0.5, 1.6)
+    include_lang_goal_in_obs: bool = True
+    num_view_for_nerf: int = 21
+
+
+@dataclass(frozen=True)
+class ReplayConfig:
+    batch_size: int = 1
+    timesteps: int = 1
+    prioritisation: bool = False
+    task_uniform: bool = True
+    use_disk: bool = True
+    path: str = "/tmp/manigaussian_replay"
+    max_parallel_processes: int = 8
+
+
+@dataclass(frozen=True)
+class FrameworkConfig:
+    """cfg.framework (conf/config.yaml)."""
+    log_freq: int = 100
+    save_freq: int = 10000
+    train_envs: int = 1
+    replay_ratio: Optional[int] = None
+    transitions_before_train: int = 200
+    tensorboard_logging: bool = False
+    csv_logging: bool = True
+    training_iterations: int = 100010
+    num_weights_to_keep: int = 60
+    load_existing_weights: bool = True
+    num_workers: int = 0
+    seeds: int = 1
+    start_seed: int = 0
+    use_wandb: bool = False
+
+
+@dataclass(frozen=True)
+class TPUConfig:
+    """TPU-native additions (no reference analog): mesh layout + precision."""
+    mesh_shape: Tuple[int, ...] = (1,)
+    mesh_axes: Tuple[str, ...] = ("data",)
+    param_dtype: str = "float32"
+    compute_dtype: str = "bfloat16"
+    donate_state: bool = True
+
+
+@dataclass(frozen=True)
+class ManiGaussianConfig:
+    method: MethodConfig = field(default_factory=MethodConfig)
+    rlbench: RLBenchConfig = field(default_factory=RLBenchConfig)
+    replay: ReplayConfig = field(default_factory=ReplayConfig)
+    framework: FrameworkConfig = field(default_factory=FrameworkConfig)
+    tpu: TPUConfig = field(default_factory=TPUConfig)
+
+
+def _rep(cfg, **kw):
+    return dataclasses.replace(cfg, **kw)
+
+
+def w_geo() -> ManiGaussianConfig:
+    """Tier 1 (scripts/train_and_eval_w_geo.sh): GS RGB loss only."""
+    return ManiGaussianConfig()
+
+
+def w_geo_dyna() -> ManiGaussianConfig:
+    """Tier 2: + deformation/future-frame loss."""
+    c = ManiGaussianConfig()
+    return _rep(c, method=_rep(c.method, neural_renderer=_rep(
+        c.method.neural_renderer, use_dynamic_field=True)))
+
+
+def w_geo_sem() -> ManiGaussianConfig:
+    """Tier 3: + semantic embedding channels (foundation features)."""
+    c = ManiGaussianConfig()
+    return _rep(c, method=_rep(c.method, neural_renderer=_rep(
+        c.method.neural_renderer, foundation_model_name="diffusion")))
+
+
+def w_geo_sem_dyna() -> ManiGaussianConfig:
+    """Tier 4 (full model, scripts/train_and_eval_w_geo_sem_dyna.sh:66-67)."""
+    c = ManiGaussianConfig()
+    return _rep(c, method=_rep(c.method, neural_renderer=_rep(
+        c.method.neural_renderer, foundation_model_name="diffusion",
+        use_dynamic_field=True)))
+
+
+VARIANTS = {
+    "w_geo": w_geo,
+    "w_geo_dyna": w_geo_dyna,
+    "w_geo_sem": w_geo_sem,
+    "w_geo_sem_dyna": w_geo_sem_dyna,
+}

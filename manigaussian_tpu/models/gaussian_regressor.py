@@ -96,7 +96,7 @@ class GeneralizableGSEmbedNet(nn.Module):
                           combine_layer=self.combine_layer, name="encoder")(latent)
         raw = GSPointCloudRegresser(d_out, name="regresser")(enc)  # [B, N, 26]
 
-        idx = jnp.cumsum(jnp.array(SPLIT_DIMS))[:-1]
+        idx = [sum(SPLIT_DIMS[: i + 1]) for i in range(len(SPLIT_DIMS) - 1)]
         (d_xyz, opacity_raw, scale_raw, rot_raw,
          sh_dc, embed, sh_rest) = jnp.split(raw, idx, axis=-1)
 
