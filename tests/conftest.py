@@ -11,12 +11,10 @@ import os
 # env edits here are too late; only jax.config.update can switch the platform.
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
-
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# 8 virtual CPU devices for multi-chip sharding tests (works even though
+# sitecustomize already imported jax, unlike XLA_FLAGS).
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", False)

@@ -1,0 +1,144 @@
+"""Data pipeline tests: episode format round-trip, keypoints, replay, batches."""
+
+import numpy as np
+import pytest
+
+from manigaussian_tpu.data import episode as ep
+from manigaussian_tpu.data.keypoints import keypoint_discovery
+from manigaussian_tpu.data.language import create_language_model
+from manigaussian_tpu.data.pipeline import (BatchIterator, assemble_batch,
+                                            fill_replay)
+from manigaussian_tpu.data.replay import TaskUniformReplay
+from manigaussian_tpu.data.synthetic import SCENE_BOUNDS, generate_task
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("demos"))
+    generate_task(root, "open_drawer", num_episodes=2, timesteps=12,
+                  h=16, w=16, nerf_views=4, nerf_hw=16)
+    generate_task(root, "turn_tap", num_episodes=1, timesteps=12,
+                  h=16, w=16, nerf_views=4, nerf_hw=16)
+    return root
+
+
+def test_episode_roundtrip(dataset):
+    paths = ep.list_episodes(dataset, "open_drawer")
+    assert len(paths) == 2
+    demo = ep.load_episode(paths[0])
+    assert len(demo) == 12
+    assert demo.gripper_pose.shape == (12, 7)
+    # image loads
+    img = ep.load_image(demo.rgb_paths["front"][0])
+    assert img.shape == (16, 16, 3) and img.max() <= 1.0
+    d = ep.load_depth(demo.depth_paths["front"][0])
+    assert d.shape == (16, 16)
+    # nerf views present except final step
+    assert demo.nerf_rgb_paths[0] is not None and len(demo.nerf_rgb_paths[0]) == 4
+    assert demo.nerf_rgb_paths[-1] is None
+
+
+def test_camera_txt_roundtrip(tmp_path):
+    extr = np.linalg.qr(np.random.RandomState(0).randn(4, 4))[0].astype(np.float32)
+    intr = np.array([[30.0, 0, 8], [0, 30.0, 8], [0, 0, 1]], np.float32)
+    p = str(tmp_path / "cam.txt")
+    ep.write_camera_txt(p, extr, intr)
+    e2, i2, focal = ep.parse_camera_txt(p)
+    np.testing.assert_allclose(e2, extr, rtol=1e-6)
+    np.testing.assert_allclose(i2, intr, rtol=1e-6)
+    assert focal == 30.0
+
+
+def test_keypoint_discovery_semantics():
+    t = 20
+    gripper = np.ones(t)
+    gripper[8:14] = 0.0  # close at 8, open at 14
+    vel = np.ones((t, 7))
+    kps = keypoint_discovery(gripper, vel)
+    assert 8 in kps and 14 in kps and (t - 1) in kps
+
+
+def test_fill_replay_and_sample(dataset):
+    lang = create_language_model("stub")
+    replay = TaskUniformReplay()
+    n1 = fill_replay(replay, dataset, "open_drawer", 2, ("front",),
+                     SCENE_BOUNDS, 100, 5, 25, lang)
+    n2 = fill_replay(replay, dataset, "turn_tap", 1, ("front",),
+                     SCENE_BOUNDS, 100, 5, 25, lang)
+    assert n1 > 0 and n2 > 0
+    assert replay.size() == n1 + n2
+    assert set(replay.tasks) == {"open_drawer", "turn_tap"}
+
+    rng = np.random.default_rng(0)
+    trs = replay.sample(4, rng)
+    tr = trs[0]
+    assert tr["trans_action_indicies"].shape == (3,)
+    assert (tr["trans_action_indicies"] >= 0).all()
+    assert (tr["trans_action_indicies"] < 100).all()
+    assert tr["rot_grip_action_indicies"].shape == (4,)
+    assert tr["lang_goal_emb"].shape == (1024,)
+    assert tr["lang_token_embs"].shape == (77, 512)
+    assert tr["low_dim_state"].shape == (4,)
+
+
+def test_disk_backed_replay_reload(dataset, tmp_path):
+    lang = create_language_model("stub")
+    replay = TaskUniformReplay(save_dir=str(tmp_path / "replay"))
+    fill_replay(replay, dataset, "open_drawer", 1, ("front",),
+                SCENE_BOUNDS, 100, 5, 25, lang)
+    n = replay.size()
+    assert n > 0
+    # new instance reloads the same files (resume semantics)
+    replay2 = TaskUniformReplay(save_dir=str(tmp_path / "replay"))
+    replay2.reload_from_disk()
+    assert replay2.size() == n
+    tr = replay2.sample(1, np.random.default_rng(0))[0]
+    assert tr["lang_goal_emb"].shape == (1024,)
+
+
+def test_assemble_batch_schema(dataset):
+    lang = create_language_model("stub")
+    replay = TaskUniformReplay()
+    fill_replay(replay, dataset, "open_drawer", 1, ("front",),
+                SCENE_BOUNDS, 100, 5, 25, lang)
+    rng = np.random.default_rng(1)
+    batch = assemble_batch(replay.sample(2, rng), rng, num_view_for_nerf=4)
+    assert batch["rgb"].shape == (2, 1, 16, 16, 3)
+    assert batch["pcd"].shape == (2, 1, 16, 16, 3)
+    assert batch["nerf_target_rgb"].shape == (2, 16, 16, 3)
+    assert batch["nerf_target_pose"].shape == (2, 4, 4)
+    assert batch["nerf_target_intrinsic"].shape == (2, 3, 3)
+    assert batch["nerf_next_target_rgb"].shape == (2, 16, 16, 3)
+    assert np.isfinite(batch["pcd"]).all()
+    # camera extrinsic is a valid c2w (orthonormal rotation)
+    R = batch["nerf_target_pose"][0, :3, :3]
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+
+
+def test_batch_iterator_prefetch(dataset):
+    lang = create_language_model("stub")
+    replay = TaskUniformReplay()
+    fill_replay(replay, dataset, "open_drawer", 1, ("front",),
+                SCENE_BOUNDS, 100, 5, 25, lang)
+    it = BatchIterator(replay, batch_size=2, seed=0, num_view_for_nerf=4)
+    b1 = next(it)
+    b2 = next(it)
+    assert b1["rgb"].shape == b2["rgb"].shape
+    it.close()
+
+
+def test_sharded_replay_disjoint(dataset):
+    lang = create_language_model("stub")
+    base = TaskUniformReplay()
+    fill_replay(base, dataset, "open_drawer", 2, ("front",),
+                SCENE_BOUNDS, 100, 5, 25, lang)
+    r0 = TaskUniformReplay(shard=(0, 2))
+    r1 = TaskUniformReplay(shard=(1, 2))
+    for tr in [base._get("open_drawer", i)
+               for i in range(base.size("open_drawer"))]:
+        r0.add("open_drawer", tr)
+        r1.add("open_drawer", tr)
+    i0 = set(r0._indices("open_drawer"))
+    i1 = set(r1._indices("open_drawer"))
+    assert i0.isdisjoint(i1)
+    assert len(i0) + len(i1) == base.size("open_drawer")
