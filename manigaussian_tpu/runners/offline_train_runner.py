@@ -1,0 +1,117 @@
+"""Offline BC training loop.
+
+Parity target: YARR `runners/offline_train_runner.py:157-234`
+(OfflineTrainRunner.start): resume from the newest weights dir, iterate the
+replay dataset, agent.update per iteration, checkpoint every save_freq with a
+rolling window, CSV/console metrics at log_freq, wall-clock step timing.
+
+TPU-first changes:
+  * the update is one jitted device computation; the host loop only feeds
+    prefetched batches and fetches metrics at log_freq (device_get is the only
+    sync point — the reference syncs every step for its loss prints);
+  * resume restores the FULL TrainState via Orbax (params+opt+step);
+  * multi-device: pass a mesh — batches are sharded over `data`, state
+    replicated (parallel/train_sharded.py).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from manigaussian_tpu.agents.bc_agent import ManiGaussianBCAgent, TrainState
+from manigaussian_tpu.config import ManiGaussianConfig
+from manigaussian_tpu.utils.checkpoint import (restore_checkpoint,
+                                               save_checkpoint)
+from manigaussian_tpu.utils.logger import MetricLogger
+
+
+def _to_device_batch(batch, mesh=None):
+    out = {k: jnp.asarray(v) for k, v in batch.items()
+           if isinstance(v, np.ndarray) and v.dtype != object}
+    if mesh is not None:
+        from manigaussian_tpu.parallel.mesh import shard_batch
+        out = shard_batch(out, mesh)
+    return out
+
+
+class OfflineTrainRunner:
+    def __init__(self,
+                 agent: ManiGaussianBCAgent,
+                 batch_iterator: Iterator,
+                 logdir: str,
+                 cfg: ManiGaussianConfig,
+                 mesh=None,
+                 seed: int = 0):
+        self.agent = agent
+        self.batches = batch_iterator
+        self.logdir = logdir
+        self.cfg = cfg
+        self.mesh = mesh
+        self.seed = seed
+        self.logger = MetricLogger(logdir, use_wandb=cfg.framework.use_wandb)
+
+    def start(self, state: Optional[TrainState] = None,
+              max_iterations: Optional[int] = None) -> TrainState:
+        fw = self.cfg.framework
+        total_iters = max_iterations or fw.training_iterations
+
+        first_batch = next(self.batches)
+        dev_batch = _to_device_batch(first_batch, self.mesh)
+        if state is None:
+            state = self.agent.init_state(
+                jax.random.PRNGKey(self.seed), dev_batch, training=True)
+
+        # auto-resume (offline_train_runner.py:166-180)
+        start_iter = 0
+        if fw.load_existing_weights:
+            restored, step = restore_checkpoint(self.logdir, state)
+            if restored is not None:
+                state, start_iter = restored, step
+                print(f"[train] resumed from iteration {step}")
+
+        if self.mesh is not None:
+            from manigaussian_tpu.parallel.mesh import replicate_state
+            from manigaussian_tpu.parallel.train_sharded import \
+                make_sharded_update
+            state = replicate_state(state, self.mesh)
+            update = make_sharded_update(self.agent, self.mesh)
+        else:
+            update = self.agent.jit_update(donate=False)
+
+        key = jax.random.PRNGKey(self.seed + 1)
+        t_last = time.perf_counter()
+        pending_metrics = None
+
+        for i in range(start_iter, total_iters):
+            key, sub = jax.random.split(key)
+            state, metrics = update(state, dev_batch, sub)
+
+            if i % fw.log_freq == 0:
+                host = {k: float(v) for k, v in
+                        jax.device_get(metrics).items()}
+                dt = time.perf_counter() - t_last
+                host["steps_per_s"] = (fw.log_freq if i else 1) / max(dt, 1e-9)
+                t_last = time.perf_counter()
+                self.logger.log(i, host)
+                self.logger.flush()
+                print(MetricLogger.format_console(i, host), flush=True)
+
+            if i and i % fw.save_freq == 0:
+                save_checkpoint(self.logdir, i, jax.device_get(state),
+                                fw.num_weights_to_keep)
+
+            # prefetch overlap: fetch next batch while the device is busy
+            try:
+                dev_batch = _to_device_batch(next(self.batches), self.mesh)
+            except StopIteration:
+                break
+
+        save_checkpoint(self.logdir, total_iters - 1, jax.device_get(state),
+                        fw.num_weights_to_keep)
+        self.logger.flush()
+        return state
