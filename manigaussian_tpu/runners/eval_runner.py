@@ -1,0 +1,149 @@
+"""Evaluation runner: checkpoint selection + closed-loop rollouts + CSV.
+
+Parity targets:
+  * checkpoint selection modes missing / best / last / <int>
+    (`eval.py:89-143`),
+  * rollout loop (`yarr/utils/rollout_generator.py:21-70`): reset_to_demo,
+    act → env.step for episode_length steps, terminal on env error,
+  * eval_data.csv rows: step + per-task mean return
+    ('eval_envs/return/<task>' multi-task, 'eval_envs/return' single-task —
+    the exact column names compute_results.py consumes).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from manigaussian_tpu.agents.bc_agent import ManiGaussianBCAgent
+from manigaussian_tpu.envs.base import EnvClient
+from manigaussian_tpu.utils.checkpoint import list_checkpoints, restore_checkpoint
+
+EVAL_CSV = "eval_data.csv"
+
+
+def read_eval_csv(logdir: str) -> List[Dict[str, float]]:
+    path = os.path.join(logdir, EVAL_CSV)
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        return [dict((k, float(v)) for k, v in row.items() if v != "")
+                for row in csv.DictReader(f)]
+
+
+def append_eval_csv(logdir: str, row: Dict[str, float]) -> None:
+    rows = read_eval_csv(logdir)
+    rows.append(row)
+    fields: List[str] = []
+    for r in rows:
+        for k in r:
+            if k not in fields:
+                fields.append(k)
+    with open(os.path.join(logdir, EVAL_CSV), "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=fields, restval="")
+        w.writeheader()
+        w.writerows(rows)
+
+
+def select_checkpoints(logdir: str, eval_type, tasks: Sequence[str]) -> List[int]:
+    """eval.py:89-143 parity."""
+    weights = list_checkpoints(logdir)
+    if not weights:
+        return []
+    if eval_type == "missing":
+        done = {int(r["step"]) for r in read_eval_csv(logdir)}
+        return [w for w in weights if w not in done]
+    if eval_type == "best":
+        rows = read_eval_csv(logdir)
+        if not rows:
+            raise RuntimeError(f"no {EVAL_CSV} in {logdir} for eval_type=best")
+        cols = ([f"eval_envs/return/{t}" for t in tasks] if len(tasks) > 1
+                else ["eval_envs/return"])
+        best_step, best_score = None, -np.inf
+        for r in rows:
+            if int(r["step"]) not in weights:
+                continue
+            score = float(np.mean([r[c] for c in cols if c in r]))
+            if score >= best_score:
+                best_score, best_step = score, int(r["step"])
+        return [best_step] if best_step is not None else []
+    if eval_type == "last":
+        return [weights[-1]]
+    if isinstance(eval_type, int):
+        return [eval_type]
+    raise ValueError(f"unknown eval_type {eval_type!r}")
+
+
+def rollout_episode(agent: ManiGaussianBCAgent, params, env: EnvClient,
+                    episode_index: int, episode_length: int,
+                    lang_emb, lang_tokens, act_fn=None) -> float:
+    """One closed-loop episode; returns the episode return."""
+    obs = env.reset_to_demo(episode_index)
+    act = act_fn or agent.jit_act()
+    total = 0.0
+    for _ in range(episode_length):
+        batch_obs = {
+            "rgb": obs.rgb[None], "pcd": obs.pcd[None],
+            "low_dim_state": obs.low_dim_state[None],
+            "lang_goal_emb": lang_emb[None],
+            "lang_token_embs": lang_tokens[None],
+        }
+        res = act(params, batch_obs)
+        action = np.asarray(res.continuous_action[0])
+        step_res = env.step(action)
+        total += step_res.reward
+        obs = step_res.observation
+        if step_res.terminal:
+            break
+    return total
+
+
+def evaluate_checkpoint(agent: ManiGaussianBCAgent, logdir: str, step: int,
+                        env: EnvClient, tasks: Sequence[str],
+                        eval_episodes: int, episode_length: int,
+                        lang_model, state_like) -> Dict[str, float]:
+    state, _ = restore_checkpoint(logdir, state_like, step=step)
+    assert state is not None, f"checkpoint {step} missing in {logdir}"
+    act = agent.jit_act()
+
+    row: Dict[str, float] = {"step": float(step)}
+    per_task = []
+    for task in tasks:
+        env.set_task(task)
+        sent, toks = lang_model.encode(task.replace("_", " "))
+        returns = [
+            rollout_episode(agent, state.params, env, e, episode_length,
+                            sent, toks, act_fn=act)
+            for e in range(eval_episodes)]
+        mean_r = float(np.mean(returns))
+        per_task.append(mean_r)
+        if len(tasks) > 1:
+            row[f"eval_envs/return/{task}"] = mean_r
+    if len(tasks) == 1:
+        row["eval_envs/return"] = per_task[0]
+    row["eval_envs/mean_return"] = float(np.mean(per_task))
+    return row
+
+
+def run_eval(agent: ManiGaussianBCAgent, logdir: str, env: EnvClient,
+             tasks: Sequence[str], eval_type="last", eval_episodes: int = 25,
+             episode_length: int = 25, lang_model=None,
+             state_like=None) -> List[Dict[str, float]]:
+    """Full eval pass (eval.py eval_seed semantics, serial over checkpoints)."""
+    steps = select_checkpoints(logdir, eval_type, tasks)
+    rows = []
+    env.launch()
+    try:
+        for step in steps:
+            row = evaluate_checkpoint(agent, logdir, step, env, tasks,
+                                      eval_episodes, episode_length,
+                                      lang_model, state_like)
+            append_eval_csv(logdir, row)
+            rows.append(row)
+    finally:
+        env.shutdown()
+    return rows

@@ -1,5 +1,6 @@
 """Stage-by-stage timing of the rasterizer on the current default device."""
-import time, json
+import os, sys, time, json
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp
 from manigaussian_tpu.ops import gaussian_math as gm
 from manigaussian_tpu.ops.rasterizer import (RasterizeConfig, _build_keys,

@@ -1,0 +1,97 @@
+"""Eval stack tests: checkpoint selection, mock-env rollouts, results CSV."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from manigaussian_tpu.agents.bc_agent import ManiGaussianBCAgent
+from manigaussian_tpu.data.language import create_language_model
+from manigaussian_tpu.data.synthetic import generate_task
+from manigaussian_tpu.envs.mock_env import MockEnvClient
+from manigaussian_tpu.runners.eval_runner import (append_eval_csv,
+                                                  read_eval_csv, run_eval,
+                                                  select_checkpoints)
+from manigaussian_tpu.utils.checkpoint import save_checkpoint
+from tests.test_agent import make_batch, tiny_config
+
+
+@pytest.fixture(scope="module")
+def eval_setup(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("demos"))
+    generate_task(root, "open_drawer", num_episodes=2, timesteps=10,
+                  h=16, w=16, nerf_views=3, nerf_hw=16)
+    cfg = tiny_config(use_neural_rendering=False)
+    agent = ManiGaussianBCAgent(cfg)
+    batch = make_batch(jax.random.PRNGKey(0))
+    state = agent.init_state(jax.random.PRNGKey(1), batch, training=True)
+    logdir = str(tmp_path_factory.mktemp("logs"))
+    host_state = jax.device_get(state)
+    save_checkpoint(logdir, 100, host_state)
+    save_checkpoint(logdir, 200, host_state)
+    return root, agent, state, logdir
+
+
+def test_select_checkpoints_modes(eval_setup, tmp_path):
+    _, _, _, logdir = eval_setup
+    assert select_checkpoints(logdir, "last", ["open_drawer"]) == [200]
+    assert select_checkpoints(logdir, "missing", ["open_drawer"]) == [100, 200]
+    assert select_checkpoints(logdir, 100, ["open_drawer"]) == [100]
+    # after evaluating 100, 'missing' returns only 200; 'best' picks from CSV
+    append_eval_csv(logdir, {"step": 100, "eval_envs/return": 50.0})
+    assert select_checkpoints(logdir, "missing", ["open_drawer"]) == [200]
+    append_eval_csv(logdir, {"step": 200, "eval_envs/return": 10.0})
+    assert select_checkpoints(logdir, "best", ["open_drawer"]) == [100]
+
+
+def test_mock_env_oracle_rollout(eval_setup):
+    """Feeding ground-truth keyframe actions must achieve success."""
+    root, _, _, _ = eval_setup
+    from manigaussian_tpu.data import episode as ep
+    from manigaussian_tpu.data.keypoints import keypoint_discovery
+
+    env = MockEnvClient(root, pos_tol=0.05)
+    env.set_task("open_drawer")
+    env.reset_to_demo(0)
+    demo = ep.load_episode(ep.list_episodes(root, "open_drawer")[0])
+    kps = keypoint_discovery(demo.gripper_open, demo.joint_velocities)
+    total = 0.0
+    for kp in kps:
+        a = np.concatenate([demo.gripper_pose[kp],
+                            [demo.gripper_open[kp]], [0.0]])
+        res = env.step(a)
+        total += res.reward
+        if res.terminal:
+            break
+    assert total == 100.0
+
+
+def test_run_eval_writes_csv(eval_setup, tmp_path):
+    root, agent, state, logdir = eval_setup
+    env = MockEnvClient(root, pos_tol=0.5)
+    lang = create_language_model("stub")
+    rows = run_eval(agent, logdir, env, ["open_drawer"], eval_type="last",
+                    eval_episodes=2, episode_length=5, lang_model=lang,
+                    state_like=jax.device_get(state))
+    assert len(rows) == 1
+    csv_rows = read_eval_csv(logdir)
+    assert any(int(r["step"]) == 200 for r in csv_rows)
+    assert "eval_envs/return" in rows[0]
+
+
+def test_compute_results_aggregation(tmp_path):
+    import pandas as pd
+    from manigaussian_tpu.analysis.compute_results import aggregate
+    for seed in range(2):
+        df = pd.DataFrame({
+            "step": [100, 200],
+            "eval_envs/return/open_drawer": [20.0 + seed, 40.0 + seed],
+            "eval_envs/return/turn_tap": [10.0, 30.0],
+        })
+        df.to_csv(tmp_path / f"{seed}.csv", index=False)
+    mean, std, _ = aggregate([str(tmp_path / "0.csv"), str(tmp_path / "1.csv")],
+                             "last")
+    np.testing.assert_allclose(mean, (35.0 + 35.5) / 2)
+    mean_best, _, _ = aggregate([str(tmp_path / "0.csv")], "best")
+    np.testing.assert_allclose(mean_best, 35.0)
