@@ -1,0 +1,99 @@
+"""Train entry point.
+
+Parity target: reference `train.py:36-129` + `run_seed_fn.py:25-164`: resolve
+config (variant + dotted overrides), build/refill the replay buffer from stored
+demos, build the agent, run OfflineTrainRunner with auto-resume, one log dir per
+task-set/seed. Distributed: instead of Fabric DDP process spawning, one process
+drives the whole mesh (pass --mesh N to shard the batch over N devices).
+
+Usage:
+    python train.py --variant w_geo --demo-root /data/demos \
+        --logdir logs/open_drawer/seed0 \
+        method.neural_renderer.use_dynamic_field=true rlbench.tasks=[open_drawer]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--variant", default="w_geo",
+                        help="w_geo | w_geo_dyna | w_geo_sem | w_geo_sem_dyna")
+    parser.add_argument("--config", default=None, help="optional YAML config")
+    parser.add_argument("--demo-root", required=True)
+    parser.add_argument("--logdir", default="logs/run")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--mesh", type=int, default=0,
+                        help="shard batches over this many devices (0 = single)")
+    parser.add_argument("--synthetic", action="store_true",
+                        help="generate synthetic demos into --demo-root first")
+    parser.add_argument("overrides", nargs="*",
+                        help="dotted config overrides key=value")
+    args = parser.parse_args(argv)
+
+    from manigaussian_tpu.utils.config_io import load_config, save_config
+    cfg = load_config(args.config, args.overrides, variant=args.variant)
+
+    random.seed(args.seed)
+    np.random.seed(args.seed)
+
+    logdir = os.path.join(args.logdir, f"seed{args.seed}")
+    os.makedirs(logdir, exist_ok=True)
+    save_config(cfg, logdir)
+
+    if args.synthetic:
+        from manigaussian_tpu.data.synthetic import generate_task
+        for task in cfg.rlbench.tasks:
+            if not os.path.isdir(os.path.join(args.demo_root, task)):
+                generate_task(args.demo_root, task,
+                              num_episodes=cfg.rlbench.demos,
+                              h=cfg.rlbench.camera_resolution[0],
+                              w=cfg.rlbench.camera_resolution[1],
+                              nerf_hw=cfg.method.neural_renderer.image_height)
+
+    from manigaussian_tpu.agents.bc_agent import ManiGaussianBCAgent
+    from manigaussian_tpu.data.language import create_language_model
+    from manigaussian_tpu.data.pipeline import BatchIterator, fill_replay
+    from manigaussian_tpu.data.replay import TaskUniformReplay
+    from manigaussian_tpu.runners.offline_train_runner import OfflineTrainRunner
+
+    lang = create_language_model(cfg.method.language_model,
+                                 cache_dir=os.path.join(logdir, "lang_cache"))
+    replay = TaskUniformReplay(
+        save_dir=cfg.replay.path if cfg.replay.use_disk else None)
+    replay.reload_from_disk()
+    if replay.size() == 0:
+        for task in cfg.rlbench.tasks:
+            n = fill_replay(
+                replay, args.demo_root, task, cfg.rlbench.demos,
+                cfg.rlbench.cameras, cfg.rlbench.scene_bounds,
+                cfg.method.voxel_sizes[0], cfg.method.rotation_resolution,
+                cfg.rlbench.episode_length, lang)
+            print(f"[replay] {task}: {n} transitions")
+
+    batches = BatchIterator(
+        replay, cfg.replay.batch_size, seed=args.seed,
+        num_view_for_nerf=cfg.method.num_view_for_nerf,
+        load_nerf_targets=cfg.method.use_neural_rendering)
+
+    agent = ManiGaussianBCAgent(cfg)
+    mesh = None
+    if args.mesh:
+        from manigaussian_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh((args.mesh,), ("data",))
+
+    runner = OfflineTrainRunner(agent, batches, logdir, cfg, mesh=mesh,
+                                seed=args.seed)
+    runner.start()
+    batches.close()
+
+
+if __name__ == "__main__":
+    main()
