@@ -48,7 +48,7 @@ def main():
     n, size = 65536, 128
     camera = make_camera(size)
     cfg = RasterizeConfig(width=size, height=size, tile=16,
-                          max_tiles_per_gaussian=16, tile_capacity=4096,
+                          max_tiles_per_gaussian=16, tile_capacity=8192,
                           chunk=512, sh_degree=1)
     scene = make_scene(jax.random.PRNGKey(0), n)
     tgt = jax.random.uniform(jax.random.PRNGKey(1), (size, size, 3))

@@ -51,6 +51,7 @@ class RasterizeConfig(NamedTuple):
     tile_capacity: int = 2048          # K_cap: blended splats per tile
     chunk: int = 256                   # splats blended per scan step
     sh_degree: int = 1
+    backend: str = "pallas"            # "pallas" (TPU kernel) | "xla" (lax.scan)
 
 
 class RasterizeExtras(NamedTuple):
@@ -216,6 +217,54 @@ def _blend_tiles(pre: gm.ProjectedGaussians, lang: jnp.ndarray,
             untile(final_t[..., None])[..., 0])
 
 
+def _blend_tiles_pallas_path(pre: gm.ProjectedGaussians, lang: jnp.ndarray,
+                             gidx: jnp.ndarray, in_list: jnp.ndarray,
+                             cfg: RasterizeConfig, bg_color: jnp.ndarray):
+    """Gather per-tile splat lists and run the Pallas blend kernel.
+
+    The gathers/transposes stay in XLA (autodiff turns them into the
+    deterministic segment-sum accumulation replacing CUDA's atomicAdd); only
+    the pixel-blend recurrence runs in the hand-written kernel.
+    """
+    from manigaussian_tpu.ops.pallas_blend import blend_tiles_pallas
+
+    tiles_x = (cfg.width + cfg.tile - 1) // cfg.tile
+    num_tiles, k_cap = gidx.shape
+    t_ids = jax.lax.broadcasted_iota(jnp.int32, (num_tiles, 1), 0).squeeze(-1)
+    origins = jnp.stack([(t_ids % tiles_x) * cfg.tile,
+                         (t_ids // tiles_x) * cfg.tile],
+                        axis=-1).astype(jnp.float32)
+
+    # TILE-LOCAL splat centers: keeps the kernel's expanded quadratic form
+    # fp32-accurate (see pallas_blend._pixel_monomials)
+    xy = pre.means2d[gidx] - origins[:, None, :]            # [T, K, 2]
+    conic = pre.conic[gidx]
+    op = pre.opacity[gidx][..., None]
+    rgbt = jnp.swapaxes(pre.rgb[gidx], 1, 2)                # [T, 3, K]
+    langt = jnp.swapaxes(lang[gidx], 1, 2)                  # [T, F, K]
+    live = in_list.astype(jnp.float32)[..., None]
+
+    interpret = jax.default_backend() != "tpu"
+    color_t, lang_t, logtf = blend_tiles_pallas(
+        xy, conic, op, rgbt, langt, live,
+        (cfg.tile, min(cfg.chunk, k_cap), interpret))
+
+    final_t = jnp.exp(logtf[:, 0, :])                       # [T, P]
+    color = jnp.swapaxes(color_t, 1, 2) + final_t[..., None] * bg_color[None, None, :]
+    lang_img = jnp.swapaxes(lang_t, 1, 2)
+
+    def untile(img):
+        c = img.shape[-1]
+        img = img.reshape((cfg.height + cfg.tile - 1) // cfg.tile, tiles_x,
+                          cfg.tile, cfg.tile, c)
+        img = jnp.moveaxis(img, 2, 1).reshape(
+            ((cfg.height + cfg.tile - 1) // cfg.tile) * cfg.tile,
+            tiles_x * cfg.tile, c)
+        return img[:cfg.height, :cfg.width]
+
+    return (untile(color), untile(lang_img), untile(final_t[..., None])[..., 0])
+
+
 def rasterize(means3d: jnp.ndarray,
               opacities: jnp.ndarray,
               camera,
@@ -250,7 +299,11 @@ def rasterize(means3d: jnp.ndarray,
         lang = language_features
 
     bg = jnp.asarray(bg_color, dtype=jnp.float32)
-    color, lang_img, final_t = _blend_tiles(pre, lang, gidx, in_list, cfg, bg)
+    if cfg.backend == "pallas":
+        color, lang_img, final_t = _blend_tiles_pallas_path(
+            pre, lang, gidx, in_list, cfg, bg)
+    else:
+        color, lang_img, final_t = _blend_tiles(pre, lang, gidx, in_list, cfg, bg)
 
     out = RenderOutput(color=color, language_feature=lang_img,
                        radii=pre.radii, final_t=final_t)

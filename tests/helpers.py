@@ -7,6 +7,25 @@ import numpy as np
 from manigaussian_tpu.ops import camera as cam
 
 
+def assert_mostly_close(actual, desired, atol, rtol, max_frac=0.005,
+                        err_msg=""):
+    """allclose tolerant to DISCRETE-THRESHOLD flips between implementations.
+
+    Splats sitting exactly on the alpha>=1/255 / T<1e-4 / power<=0 cutoffs can
+    land on different sides in two numerically-equivalent implementations
+    (oracle vs pallas vs CUDA), flipping their masks and producing finitely
+    different values at a handful of elements. Require the overwhelming
+    majority to be tight instead of every element.
+    """
+    actual, desired = np.asarray(actual), np.asarray(desired)
+    bad = ~np.isclose(actual, desired, atol=atol, rtol=rtol)
+    frac = float(bad.mean())
+    assert frac <= max_frac, (
+        f"{err_msg}: {bad.sum()}/{bad.size} elements ({frac:.2%}) outside "
+        f"atol={atol} rtol={rtol}; max abs diff "
+        f"{np.abs(actual - desired)[bad].max() if bad.any() else 0}")
+
+
 def make_camera(width=64, height=64, focal=60.0, cam_pos=(0.0, 0.0, 0.0),
                 znear=0.1, zfar=4.0):
     """Camera at cam_pos looking along +z (identity rotation)."""
