@@ -167,7 +167,8 @@ def _select_view(paths_rgb, paths_depth, paths_cam, num_view_by_user: int,
 
 def assemble_batch(transitions: List[Transition], rng: np.random.Generator,
                    num_view_for_nerf: int = 20,
-                   load_nerf_targets: bool = True) -> Dict[str, np.ndarray]:
+                   load_nerf_targets: bool = True,
+                   embed_fn=None) -> Dict[str, np.ndarray]:
     """Transitions → numpy batch matching the agent.update schema."""
     from manigaussian_tpu.ops.camera import depth_to_pointcloud
     import jax.numpy as jnp
@@ -232,6 +233,10 @@ def assemble_batch(transitions: List[Transition], rng: np.random.Generator,
             nerf_next_target_rgb=np.stack(nxt_rgb),
             nerf_next_target_pose=np.stack(nxt_pose),
             nerf_next_target_intrinsic=np.stack(nxt_intr))
+        if embed_fn is not None:
+            # semantic GT: frozen features + PCA (neural_rendering.py:117-166),
+            # computed in the prefetch thread — not inside the train step
+            batch["gt_embed"] = np.asarray(embed_fn(batch["nerf_target_rgb"]))
     return batch
 
 
@@ -241,12 +246,14 @@ class BatchIterator:
 
     def __init__(self, replay: TaskUniformReplay, batch_size: int,
                  seed: int = 0, num_view_for_nerf: int = 20,
-                 load_nerf_targets: bool = True, prefetch: int = 2):
+                 load_nerf_targets: bool = True, prefetch: int = 2,
+                 embed_fn=None):
         self.replay = replay
         self.batch_size = batch_size
         self.rng = np.random.default_rng(seed)
         self.num_view_for_nerf = num_view_for_nerf
         self.load_nerf_targets = load_nerf_targets
+        self.embed_fn = embed_fn
         self._q: queue.Queue = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True)
@@ -255,7 +262,7 @@ class BatchIterator:
     def _make(self):
         transitions = self.replay.sample(self.batch_size, self.rng)
         return assemble_batch(transitions, self.rng, self.num_view_for_nerf,
-                              self.load_nerf_targets)
+                              self.load_nerf_targets, embed_fn=self.embed_fn)
 
     def _worker(self):
         while not self._stop.is_set():

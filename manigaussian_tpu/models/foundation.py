@@ -1,0 +1,143 @@
+"""Foundation-model feature extraction for semantic supervision (w_geo_sem).
+
+Parity target: `neural_rendering.py:117-166` (extract_foundation_model_feature)
++ `dino_extractor.py:10-34`: a frozen vision model produces dense features for
+the ground-truth view; per-image PCA (torch.pca_lowrank) compresses them to
+`d_embed`=3 channels which supervise the rendered embedding image via cosine
+loss. The reference offers ODISE Stable-Diffusion features ('diffusion') or
+DINOv2 ViT-L/14 ('dinov2').
+
+Providers here:
+  * StubFeatureExtractor — deterministic multi-scale image statistics
+    (gaussian-pyramid color/gradient features). Zero-egress environments have
+    no pretrained weights; the stub gives CONSISTENT dense features so the
+    semantic-loss pathway trains and tests end-to-end. Swap for a real tower
+    when a checkpoint directory is available.
+  * DINOv2FeatureExtractor — transformers ViT from a LOCAL checkpoint
+    (no download), features = last-hidden patch tokens upsampled to the image.
+  * pca_to_channels — the exact per-image PCA-reconstruction step
+    (neural_rendering.py:155-163).
+
+Everything returns channels-last [B, H, W, d_embed] float32.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Protocol
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def pca_to_channels(features: jnp.ndarray, d_embed: int = 3,
+                    q: Optional[int] = None) -> jnp.ndarray:
+    """Per-image PCA projection, parity with torch.pca_lowrank usage.
+
+    features: [HW, C] → [HW, d_embed]: center → top-q right singular vectors V
+    → project the UNcentered features (A @ V[:, :d_embed]), exactly like
+    neural_rendering.py:159-162 (pca_lowrank centers internally; the reference
+    multiplies raw A by V).
+    """
+    q = q or max(6, d_embed)
+    mean = jnp.mean(features, axis=0, keepdims=True)
+    centered = features - mean
+    # economical SVD of [HW, C]: right singular vectors of centered data
+    _u, _s, vt = jnp.linalg.svd(centered, full_matrices=False)
+    v = vt.T[:, :d_embed]
+    return features @ v
+
+
+def pca_to_channels_batch(features: jnp.ndarray, d_embed: int = 3) -> jnp.ndarray:
+    """[B, HW, C] → [B, HW, d_embed] (per-image PCA, like the reference loop)."""
+    return jax.vmap(lambda f: pca_to_channels(f, d_embed))(features)
+
+
+class FeatureExtractor(Protocol):
+    def __call__(self, rgb: jnp.ndarray) -> jnp.ndarray:
+        """[B, H, W, 3] in [0,1] → dense features [B, H, W, C]."""
+        ...
+
+
+class StubFeatureExtractor:
+    """Deterministic dense features from fixed random projections of
+    multi-scale color statistics. No learned weights, fully traced/jittable."""
+
+    def __init__(self, out_channels: int = 32, seed: int = 0):
+        self.out_channels = out_channels
+        key = jax.random.PRNGKey(seed)
+        # fixed random 1x1 mixing of the 12 stat channels
+        self._w = jax.random.normal(key, (12, out_channels)) / np.sqrt(12)
+
+    def __call__(self, rgb: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, _ = rgb.shape
+
+        def blur(x):
+            k = jnp.array([0.25, 0.5, 0.25])
+            x = jax.vmap(lambda im: jnp.apply_along_axis(
+                lambda v: jnp.convolve(v, k, mode="same"), 0, im))(x)
+            x = jax.vmap(lambda im: jnp.apply_along_axis(
+                lambda v: jnp.convolve(v, k, mode="same"), 1, im))(x)
+            return x
+
+        blur1 = blur(rgb)
+        blur2 = blur(blur1)
+        gx = jnp.roll(rgb, -1, axis=2) - rgb
+        gy = jnp.roll(rgb, -1, axis=1) - rgb
+        stats = jnp.concatenate([rgb, blur1, blur2 - blur1,
+                                 jnp.abs(gx) + jnp.abs(gy)], axis=-1)  # 12ch
+        return jnp.einsum("bhwc,cf->bhwf", stats, self._w)
+
+
+class DINOv2FeatureExtractor:
+    """DINOv2 patch features from a LOCAL transformers checkpoint."""
+
+    def __init__(self, checkpoint_dir: str):
+        from transformers import AutoImageProcessor, AutoModel
+        import torch
+        self._torch = torch
+        self.processor = AutoImageProcessor.from_pretrained(checkpoint_dir)
+        self.model = AutoModel.from_pretrained(checkpoint_dir).eval()
+
+    def __call__(self, rgb: jnp.ndarray) -> jnp.ndarray:
+        torch = self._torch
+        b, h, w, _ = rgb.shape
+        with torch.no_grad():
+            inputs = self.processor(
+                images=[np.asarray(r) for r in np.asarray(rgb)],
+                return_tensors="pt", do_rescale=False)
+            out = self.model(**inputs).last_hidden_state[:, 1:]  # drop CLS
+        n = out.shape[1]
+        side = int(np.sqrt(n))
+        feats = out.reshape(b, side, side, -1).float().numpy()
+        return jax.image.resize(jnp.asarray(feats), (b, h, w, feats.shape[-1]),
+                                method="bilinear")
+
+
+def extract_gt_embed(rgb: jnp.ndarray, extractor: FeatureExtractor,
+                     d_embed: int = 3) -> jnp.ndarray:
+    """GT embedding image: dense features → per-image PCA → [B, H, W, d_embed].
+
+    Parity: extract_foundation_model_feature (neural_rendering.py:117-166),
+    minus the 512-resize round trip (our extractors match the input size).
+    """
+    feats = extractor(rgb)
+    b, h, w, c = feats.shape
+    proj = pca_to_channels_batch(feats.reshape(b, h * w, c), d_embed)
+    return proj.reshape(b, h, w, d_embed)
+
+
+def create_feature_extractor(name: Optional[str],
+                             checkpoint_dir: Optional[str] = None
+                             ) -> Optional[FeatureExtractor]:
+    """Factory keyed by cfg.foundation_model_name (None/'diffusion'/'dinov2').
+
+    'diffusion' (ODISE/StableDiffusion) has no offline-loadable equivalent —
+    it maps to the stub unless a dinov2 checkpoint is supplied; the supervision
+    interface (3-ch PCA embedding) is identical either way.
+    """
+    if name is None:
+        return None
+    if name == "dinov2" and checkpoint_dir:
+        return DINOv2FeatureExtractor(checkpoint_dir)
+    return StubFeatureExtractor()

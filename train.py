@@ -78,10 +78,23 @@ def main(argv=None):
                 cfg.rlbench.episode_length, lang)
             print(f"[replay] {task}: {n} transitions")
 
+    embed_fn = None
+    fm_name = cfg.method.neural_renderer.foundation_model_name
+    if fm_name and cfg.method.use_neural_rendering:
+        import functools
+        import jax
+        from manigaussian_tpu.models.foundation import (create_feature_extractor,
+                                                        extract_gt_embed)
+        extractor = create_feature_extractor(fm_name)
+        embed_fn = jax.jit(functools.partial(
+            extract_gt_embed, extractor=extractor,
+            d_embed=cfg.method.neural_renderer.d_embed))
+
     batches = BatchIterator(
         replay, cfg.replay.batch_size, seed=args.seed,
         num_view_for_nerf=cfg.method.num_view_for_nerf,
-        load_nerf_targets=cfg.method.use_neural_rendering)
+        load_nerf_targets=cfg.method.use_neural_rendering,
+        embed_fn=embed_fn)
 
     agent = ManiGaussianBCAgent(cfg)
     mesh = None
