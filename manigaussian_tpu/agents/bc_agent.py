@@ -211,6 +211,24 @@ class ManiGaussianBCAgent:
              coll.astype(jnp.float32)], axis=-1)
         return ActResult(continuous, coords, rot_grip, coll)
 
+    # ------------------------------------------------------------- rendering
+    def render_for_vis(self, params, batch: Dict[str, jnp.ndarray]):
+        """Inference-mode novel-view render for the recon panels
+        (QFunction.render parity, qattention:289-359). Returns RenderResult."""
+        m = self.cfg.method
+        q = self.qfn.apply(
+            params, normalize_rgb(batch["rgb"]), batch["pcd"],
+            batch["low_dim_state"], batch["lang_goal_emb"],
+            batch["lang_token_embs"], self.bounds,
+            use_neural_rendering=True,
+            nerf_target_rgb=None,  # training=False path: render only
+            nerf_target_pose=batch.get("nerf_target_pose"),
+            nerf_target_intrinsic=batch.get("nerf_target_intrinsic"),
+            nerf_next_target_pose=batch.get("nerf_next_target_pose"),
+            nerf_next_target_intrinsic=batch.get("nerf_next_target_intrinsic"),
+            action=batch.get("action"), step=0, deterministic=True)
+        return q.render_result
+
     # ---------------------------------------------------------------- jit
     def jit_update(self, donate: bool = True):
         return jax.jit(self.update, donate_argnums=(0,) if donate else ())

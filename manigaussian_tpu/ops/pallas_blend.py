@@ -51,9 +51,9 @@ def _pixel_monomials(tile: int):
     same frame (xy − tile_origin).
     """
     p = tile * tile
-    local = jax.lax.broadcasted_iota(jnp.float32, (1, p), 1)
-    px = local - jnp.floor(local / tile) * tile          # local % tile
-    py = jnp.floor(local / tile)
+    local = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)  # int iota (Mosaic)
+    px = (local % tile).astype(jnp.float32)
+    py = (local // tile).astype(jnp.float32)
     one = jnp.ones_like(px)
     return jnp.concatenate([one, px, py, px * px, px * py, py * py], axis=0)
 

@@ -105,6 +105,28 @@ class OfflineTrainRunner:
                 save_checkpoint(self.logdir, i, jax.device_get(state),
                                 fw.num_weights_to_keep)
 
+            # periodic recon visualization (qattention:921-1010)
+            render_freq = self.cfg.method.neural_renderer.render_freq
+            if (self.cfg.method.use_neural_rendering and render_freq
+                    and i % render_freq == 0
+                    and "nerf_target_rgb" in dev_batch):
+                try:
+                    from manigaussian_tpu.utils.visualization import \
+                        save_recon_panel
+                    res = self.agent.render_for_vis(state.params, dev_batch)
+                    save_recon_panel(
+                        self.logdir, i,
+                        input_rgb=np.asarray(dev_batch["rgb"])[0, 0],
+                        gt_rgb=np.asarray(dev_batch["nerf_target_rgb"])[0],
+                        pred_rgb=np.asarray(res.render_novel)[0],
+                        pred_embed=(np.asarray(res.render_embed)[0]
+                                    if res.render_embed is not None else None),
+                        next_pred_rgb=(np.asarray(res.next_render_novel)[0]
+                                       if res.next_render_novel is not None
+                                       else None))
+                except Exception as e:  # visualization must never kill training
+                    print(f"[train] recon panel failed at {i}: {e}")
+
             # prefetch overlap: fetch next batch while the device is busy
             try:
                 dev_batch = _to_device_batch(next(self.batches), self.mesh)
