@@ -7,12 +7,12 @@ This is the performance centerpiece replacing `renderCUDA`
   * grid = (num_tiles,): one program per 16×16 tile, splat lists pre-gathered
     to static capacity K (ops/rasterizer binning) living in VMEM;
   * the sequential front-to-back recurrence is reformulated in log space and
-    computed with TRIANGULAR MATMULS on the MXU: for a chunk of CH splats the
-    inclusive/strict prefix sums over the splat axis are `L @ log1p(-a)` with
-    L lower-triangular — replacing the CUDA thread-serial loop;
-  * the Gaussian falloff is evaluated as a 6-coefficient quadratic-form matmul
-    `coeff[CH,6] @ monomials[6,P]` (MXU) instead of per-pixel VPU chains;
-  * per-pixel color/feature accumulation is `rgbᵀ @ w` (MXU);
+    computed with TRIANGULAR MATMULS on the MXU: prefix sums over the splat
+    axis are `log1p(-a) @ U` with U upper-triangular — replacing the CUDA
+    thread-serial loop;
+  * the Gaussian falloff is evaluated as a quadratic-form matmul
+    `monomials[P,6] @ coeff[6,CH]` (MXU) instead of per-pixel VPU chains;
+  * per-pixel color/feature accumulation is a [3,CH]·[P,CH]ᵀ matmul (MXU);
   * backward recomputes the forward per chunk (flash-attention-style — no big
     residuals) and uses the suffix-sum identity
         dL/da_i = T_i·g_i − (S_i + dL/dlogT_final)/(1−a_i),
@@ -20,13 +20,19 @@ This is the performance centerpiece replacing `renderCUDA`
     (the associative form of backward.cu's `accum_rec` back-to-front replay),
     then reduces analytic d(power)/d{mean2d, conic, opacity} on-chip.
 
+Memory layout (Mosaic constraint: dynamically-sliced axes must be lane-aligned):
+every per-splat ref is 2-D `[channels, K]` — the splat axis K sits on lanes and
+chunk slices are multiples of 128 on real TPUs (any chunk in interpret mode);
+per-splat scalars broadcast as [1, CH] rows against [P, CH] pixel matrices.
+
 Gradient semantics match the pure-jax oracle (ops/rasterizer_ref.py) — i.e.
 jnp.minimum/where-gated autodiff: clamped alphas (0.99), skipped splats
 (power>0, alpha<1/255) and latched pixels get zero gradient. (The CUDA backward
 leaves the 0.99 clamp ungated, backward.cu:478-490 — a semantics bug we do not
 replicate; alphas at the clamp are saturated anyway.)
 
-All tensors fp32; matmul accumulation fp32.
+All tensors fp32; matmul accumulation fp32. Splat centers arrive TILE-LOCAL
+(xy − tile_origin) so the expanded quadratic form stays fp32-accurate.
 """
 
 from __future__ import annotations
@@ -43,28 +49,23 @@ ALPHA_MIN = 1.0 / 255.0
 T_EPS = 1e-4
 
 
-def _pixel_monomials(tile: int):
-    """[6, P] monomial basis (1, px, py, px², px·py, py²), TILE-LOCAL pixels.
-
-    Local coordinates keep the monomials small (≤ tile²) so the expanded
-    quadratic form stays fp32-accurate; the caller shifts splat means into the
-    same frame (xy − tile_origin).
-    """
+def _pixel_monomials_t(tile: int):
+    """[P, 6] monomial basis (1, px, py, px², px·py, py²), TILE-LOCAL pixels."""
     p = tile * tile
-    local = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)  # int iota (Mosaic)
+    local = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
     px = (local % tile).astype(jnp.float32)
     py = (local // tile).astype(jnp.float32)
     one = jnp.ones_like(px)
-    return jnp.concatenate([one, px, py, px * px, px * py, py * py], axis=0)
+    return jnp.concatenate([one, px, py, px * px, px * py, py * py], axis=1)
 
 
-def _splat_coeffs(xy, conic):
-    """[CH, 6] power coefficients: power = coeff @ monomials.
+def _splat_coeffs(xyt, conict):
+    """[6, CH] power coefficients from row-vector splat attrs ([2,CH], [3,CH]).
 
     power = -0.5a(xm-px)² - 0.5c(ym-py)² - b(xm-px)(ym-py), conic=(a, b, c).
     """
-    xm, ym = xy[:, 0:1], xy[:, 1:2]
-    a, b, c = conic[:, 0:1], conic[:, 1:2], conic[:, 2:3]
+    xm, ym = xyt[0:1, :], xyt[1:2, :]
+    a, b, c = conict[0:1, :], conict[1:2, :], conict[2:3, :]
     return jnp.concatenate([
         -0.5 * a * xm * xm - 0.5 * c * ym * ym - b * xm * ym,   # 1
         a * xm + b * ym,                                        # px
@@ -72,23 +73,23 @@ def _splat_coeffs(xy, conic):
         -0.5 * a,                                               # px²
         -b,                                                     # px·py
         -0.5 * c,                                               # py²
-    ], axis=1)
+    ], axis=0)
 
 
-def _tri(ch: int, strict: bool):
+def _tri_upper(ch: int, strict: bool):
+    """[CH, CH] with M[j, i] = 1 for j < i (strict) or j <= i: x @ M = prefix."""
     r = jax.lax.broadcasted_iota(jnp.int32, (ch, ch), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (ch, ch), 1)
-    return jnp.where(c < r if strict else c <= r, 1.0, 0.0).astype(jnp.float32)
+    return jnp.where(r < c if strict else r <= c, 1.0, 0.0).astype(jnp.float32)
 
 
 def _dot(a, b):
-    """[M,K]@[K,N] fp32 MXU."""
     return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
 
 
 def _dot_nt(a, b):
-    """a [M,K], b [N,K] → [M,N] (contract last dims, no transpose op)."""
+    """a [M,K], b [N,K] → [M,N] (contract last dims)."""
     return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
 
@@ -99,187 +100,184 @@ def _dot_tn(a, b):
                                preferred_element_type=jnp.float32)
 
 
-def _chunk_state(xy, conic, op, live, mono, log_t_raw, fail_any,
-                 l_incl, l_strict):
-    """Shared fwd math for one chunk of CH splats against P pixels."""
-    coeff = _splat_coeffs(xy, conic)                      # [CH, 6]
-    power = _dot(coeff, mono)                             # [CH, P]
+def _chunk_state(xyt, conict, opt, livet, mono_t, log_t_raw, fail_any,
+                 u_incl, u_strict):
+    """Shared fwd math for one chunk. Pixel-major: [P, CH] matrices."""
+    coeff = _splat_coeffs(xyt, conict)                    # [6, CH]
+    power = _dot(mono_t, coeff)                           # [P, CH]
     g = jnp.exp(jnp.minimum(power, 0.0))
-    alpha_un = op * g                                     # unclamped
+    alpha_un = opt * g                                    # [1,CH]·[P,CH]
     alpha = jnp.minimum(ALPHA_MAX, alpha_un)
-    active = (power <= 0.0) & (alpha >= ALPHA_MIN) & (live > 0.5)
+    active = (power <= 0.0) & (alpha >= ALPHA_MIN) & (livet > 0.5)
     a = jnp.where(active, alpha, 0.0)
     log1m = jnp.log1p(-a)
-    csum = _dot(l_incl, log1m)                            # inclusive prefix
-    t_before = jnp.exp(csum - log1m + log_t_raw)
+    csum = _dot(log1m, u_incl)                            # inclusive prefix
+    t_before = jnp.exp(csum - log1m + log_t_raw)          # [P, CH]
     test_t = t_before * (1.0 - a)
     fail = test_t < T_EPS
     fail_f = fail.astype(jnp.float32)
-    term_before = (_dot(l_strict, fail_f) > 0.5) | (fail_any > 0.5)
+    term_before = (_dot(fail_f, u_strict) > 0.5) | (fail_any > 0.5)
     contrib = jnp.logical_not(term_before) & jnp.logical_not(fail)
     w = jnp.where(contrib, a * t_before, 0.0)
-    new_log_t_raw = log_t_raw + csum[-1:, :]
-    new_fail_any = jnp.maximum(fail_any, jnp.max(fail_f, axis=0, keepdims=True))
+    new_log_t_raw = log_t_raw + csum[:, -1:]
+    new_fail_any = jnp.maximum(fail_any, jnp.max(fail_f, axis=1, keepdims=True))
     return dict(g=g, alpha_un=alpha_un, a=a, active=active, log1m=log1m,
                 t_before=t_before, contrib=contrib, w=w,
                 new_log_t_raw=new_log_t_raw, new_fail_any=new_fail_any)
 
 
-def _fwd_kernel(xy_ref, conic_ref, op_ref, rgbt_ref, langt_ref,
-                live_ref, color_ref, lang_ref, logtf_ref,
+def _fwd_kernel(xyt_ref, conict_ref, opt_ref, rgbt_ref, langt_ref, livet_ref,
+                color_ref, lang_ref, logtf_ref,
                 *, tile, ch, n_chunks, n_color, n_feat):
     p = tile * tile
-    mono = _pixel_monomials(tile)
-    l_incl = _tri(ch, strict=False)
-    l_strict = _tri(ch, strict=True)
+    mono_t = _pixel_monomials_t(tile)
+    u_incl = _tri_upper(ch, strict=False)
+    u_strict = _tri_upper(ch, strict=True)
 
     def body(c, carry):
         log_t_raw, log_t_final, fail_any, color_acc, lang_acc = carry
         sl = pl.ds(c * ch, ch)
-        s = _chunk_state(xy_ref[sl, :], conic_ref[sl, :], op_ref[sl, :],
-                         live_ref[sl, :], mono, log_t_raw, fail_any,
-                         l_incl, l_strict)
-        color_acc = color_acc + _dot(rgbt_ref[:, sl], s["w"])     # [3, P]
-        lang_acc = lang_acc + _dot(langt_ref[:, sl], s["w"])      # [F, P]
+        s = _chunk_state(xyt_ref[:, sl], conict_ref[:, sl], opt_ref[:, sl],
+                         livet_ref[:, sl], mono_t, log_t_raw, fail_any,
+                         u_incl, u_strict)
+        color_acc = color_acc + _dot_nt(rgbt_ref[:, sl], s["w"])   # [3, P]
+        lang_acc = lang_acc + _dot_nt(langt_ref[:, sl], s["w"])    # [F, P]
         log_t_final = log_t_final + jnp.sum(
-            jnp.where(s["contrib"], s["log1m"], 0.0), axis=0, keepdims=True)
+            jnp.where(s["contrib"], s["log1m"], 0.0), axis=1, keepdims=True)
         return (s["new_log_t_raw"], log_t_final, s["new_fail_any"],
                 color_acc, lang_acc)
 
-    init = (jnp.zeros((1, p), jnp.float32), jnp.zeros((1, p), jnp.float32),
-            jnp.zeros((1, p), jnp.float32),
+    init = (jnp.zeros((p, 1), jnp.float32), jnp.zeros((p, 1), jnp.float32),
+            jnp.zeros((p, 1), jnp.float32),
             jnp.zeros((n_color, p), jnp.float32),
             jnp.zeros((n_feat, p), jnp.float32))
     _, log_t_final, _, color_acc, lang_acc = jax.lax.fori_loop(
         0, n_chunks, body, init)
     color_ref[:, :] = color_acc
     lang_ref[:, :] = lang_acc
-    logtf_ref[:, :] = log_t_final
+    logtf_ref[:, :] = jnp.transpose(log_t_final)           # [1, P]
 
 
-def _bwd_kernel(xy_ref, conic_ref, op_ref, rgbt_ref, langt_ref,
-                live_ref, gcolor_ref, glang_ref, glogtf_ref,
-                dxy_ref, dconic_ref, dop_ref, drgbt_ref, dlangt_ref,
+def _bwd_kernel(xyt_ref, conict_ref, opt_ref, rgbt_ref, langt_ref, livet_ref,
+                gcolor_ref, glang_ref, glogtf_ref,
+                dxyt_ref, dconict_ref, dopt_ref, drgbt_ref, dlangt_ref,
                 *, tile, ch, n_chunks, n_color, n_feat):
     p = tile * tile
-    mono = _pixel_monomials(tile)
-    l_incl = _tri(ch, strict=False)
-    l_strict = _tri(ch, strict=True)
+    mono_t = _pixel_monomials_t(tile)
+    u_incl = _tri_upper(ch, strict=False)
+    u_strict = _tri_upper(ch, strict=True)
     gcolor = gcolor_ref[:, :]                              # [3, P]
     glang = glang_ref[:, :]                                # [F, P]
-    # grad w.r.t. log_t_final arrives directly (exp/backgrounding is done by
-    # the XLA caller): dL/da_i += −glogtf/(1−a_i) for contributing splats.
-    glogtf = glogtf_ref[:, :]                              # [1, P]
+    glogtf = jnp.transpose(glogtf_ref[:, :])               # [P, 1]
 
     # ---- pass 1 (forward replay): total Σ w·g per pixel
     def pass1(c, carry):
         log_t_raw, fail_any, total_wg = carry
         sl = pl.ds(c * ch, ch)
-        s = _chunk_state(xy_ref[sl, :], conic_ref[sl, :], op_ref[sl, :],
-                         live_ref[sl, :], mono, log_t_raw, fail_any,
-                         l_incl, l_strict)
-        gsplat = _dot_tn(rgbt_ref[:, sl], gcolor) \
-            + _dot_tn(langt_ref[:, sl], glang)             # [CH, P]
-        total_wg = total_wg + jnp.sum(s["w"] * gsplat, axis=0, keepdims=True)
+        s = _chunk_state(xyt_ref[:, sl], conict_ref[:, sl], opt_ref[:, sl],
+                         livet_ref[:, sl], mono_t, log_t_raw, fail_any,
+                         u_incl, u_strict)
+        gsplat = _dot_tn(gcolor, rgbt_ref[:, sl]) \
+            + _dot_tn(glang, langt_ref[:, sl])             # [P, CH]
+        total_wg = total_wg + jnp.sum(s["w"] * gsplat, axis=1, keepdims=True)
         return (s["new_log_t_raw"], s["new_fail_any"], total_wg)
 
-    init1 = (jnp.zeros((1, p), jnp.float32), jnp.zeros((1, p), jnp.float32),
-             jnp.zeros((1, p), jnp.float32))
+    init1 = (jnp.zeros((p, 1), jnp.float32), jnp.zeros((p, 1), jnp.float32),
+             jnp.zeros((p, 1), jnp.float32))
     _, _, total_wg = jax.lax.fori_loop(0, n_chunks, pass1, init1)
 
     # ---- pass 2: per-splat gradients
     def pass2(c, carry):
         log_t_raw, fail_any, prefix_wg = carry
         sl = pl.ds(c * ch, ch)
-        xy = xy_ref[sl, :]
-        conic = conic_ref[sl, :]
-        s = _chunk_state(xy, conic, op_ref[sl, :], live_ref[sl, :], mono,
-                         log_t_raw, fail_any, l_incl, l_strict)
-        gsplat = _dot_tn(rgbt_ref[:, sl], gcolor) \
-            + _dot_tn(langt_ref[:, sl], glang)             # [CH, P]
+        xyt = xyt_ref[:, sl]
+        conict = conict_ref[:, sl]
+        s = _chunk_state(xyt, conict, opt_ref[:, sl], livet_ref[:, sl],
+                         mono_t, log_t_raw, fail_any, u_incl, u_strict)
+        gsplat = _dot_tn(gcolor, rgbt_ref[:, sl]) \
+            + _dot_tn(glang, langt_ref[:, sl])             # [P, CH]
         wg = s["w"] * gsplat
-        incl_here = _dot(l_incl, wg) + prefix_wg           # global inclusive
-        suffix = total_wg - incl_here                      # S_i [CH, P]
+        incl_here = _dot(wg, u_incl) + prefix_wg           # global inclusive
+        suffix = total_wg - incl_here                      # S_i [P, CH]
 
         da = jnp.where(
             s["contrib"],
             s["t_before"] * gsplat - (suffix + glogtf) / (1.0 - s["a"]),
             0.0)
 
-        # gate: clamped or inactive alphas get no grad to op/power
         open_gate = s["active"] & (s["alpha_un"] < ALPHA_MAX)
         da_open = jnp.where(open_gate, da, 0.0)
         dpower = da_open * s["alpha_un"]                   # dα/dpower = op·g
-        dop_ref[sl, :] = jnp.sum(da_open * s["g"], axis=1, keepdims=True)
+        dopt_ref[:, sl] = jnp.sum(da_open * s["g"], axis=0, keepdims=True)
 
-        dcoeff = _dot_nt(dpower, mono)                     # [CH, 6]
-        xm, ym = xy[:, 0:1], xy[:, 1:2]
-        ca, cb, cc = conic[:, 0:1], conic[:, 1:2], conic[:, 2:3]
-        d1, dpx, dpy = dcoeff[:, 0:1], dcoeff[:, 1:2], dcoeff[:, 2:3]
-        dpx2, dpxpy, dpy2 = dcoeff[:, 3:4], dcoeff[:, 4:5], dcoeff[:, 5:6]
+        dcoeff = _dot_tn(mono_t, dpower)                   # [6, CH]
+        xm, ym = xyt[0:1, :], xyt[1:2, :]
+        ca, cb, cc = conict[0:1, :], conict[1:2, :], conict[2:3, :]
+        d1, dpx, dpy = dcoeff[0:1, :], dcoeff[1:2, :], dcoeff[2:3, :]
+        dpx2, dpxpy, dpy2 = dcoeff[3:4, :], dcoeff[4:5, :], dcoeff[5:6, :]
         dxm = d1 * (-ca * xm - cb * ym) + dpx * ca + dpy * cb
         dym = d1 * (-cc * ym - cb * xm) + dpy * cc + dpx * cb
         dca = d1 * (-0.5 * xm * xm) + dpx * xm - 0.5 * dpx2
         dcb = d1 * (-xm * ym) + dpx * ym + dpy * xm - dpxpy
         dcc = d1 * (-0.5 * ym * ym) + dpy * ym - 0.5 * dpy2
-        dxy_ref[sl, :] = jnp.concatenate([dxm, dym], axis=1)
-        dconic_ref[sl, :] = jnp.concatenate([dca, dcb, dcc], axis=1)
+        dxyt_ref[:, sl] = jnp.concatenate([dxm, dym], axis=0)
+        dconict_ref[:, sl] = jnp.concatenate([dca, dcb, dcc], axis=0)
 
-        drgbt_ref[:, sl] = _dot_nt(gcolor, s["w"])         # [3, CH]
-        dlangt_ref[:, sl] = _dot_nt(glang, s["w"])         # [F, CH]
+        drgbt_ref[:, sl] = _dot_nt(gcolor, jnp.transpose(s["w"]))  # [3, CH]
+        dlangt_ref[:, sl] = _dot_nt(glang, jnp.transpose(s["w"]))
 
-        prefix_wg = prefix_wg + jnp.sum(wg, axis=0, keepdims=True)
+        prefix_wg = prefix_wg + jnp.sum(wg, axis=1, keepdims=True)
         return (s["new_log_t_raw"], s["new_fail_any"], prefix_wg)
 
-    init2 = (jnp.zeros((1, p), jnp.float32), jnp.zeros((1, p), jnp.float32),
-             jnp.zeros((1, p), jnp.float32))
+    init2 = (jnp.zeros((p, 1), jnp.float32), jnp.zeros((p, 1), jnp.float32),
+             jnp.zeros((p, 1), jnp.float32))
     jax.lax.fori_loop(0, n_chunks, pass2, init2)
 
 
-def _tile_specs(k, n_color, n_feat, p):
+def _specs(k, n_color, n_feat):
     def bs(shape):
-        return pl.BlockSpec((1,) + shape, lambda t: (t,) + (0,) * len(shape),
+        return pl.BlockSpec((None,) + shape,
+                            lambda t: (t,) + (0,) * len(shape),
                             memory_space=pltpu.VMEM)
-    ins = [
-        bs((k, 2)), bs((k, 3)), bs((k, 1)),                 # xy conic op
-        bs((n_color, k)), bs((n_feat, k)), bs((k, 1)),      # rgbt langt live
-    ]
+    ins = [bs((2, k)), bs((3, k)), bs((1, k)),              # xyt conict opt
+           bs((n_color, k)), bs((n_feat, k)), bs((1, k))]   # rgbt langt livet
     return ins, bs
 
 
-def _wrap(kernel):
-    """Squeeze the leading (tile) block axis of every ref."""
-    def wrapped(*refs, **kw):
-        return kernel(*[r.at[0] for r in refs], **kw)
-    return wrapped
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def blend_tiles_pallas(xy, conic, op, rgbt, langt, live, cfg):
+def blend_tiles_pallas(xyt, conict, opt, rgbt, langt, livet, cfg):
     """Differentiable per-tile blend.
 
-    Args (fp32): xy [T,K,2] splat centers in TILE-LOCAL pixel coords
-      (xy_global − tile_origin), conic [T,K,3], op [T,K,1], rgbt [T,3,K],
-      langt [T,F,K], live [T,K,1]; cfg: static (tile, chunk, interpret).
+    Args (fp32, splat axis LAST): xyt [T,2,K] TILE-LOCAL centers,
+      conict [T,3,K], opt [T,1,K], rgbt [T,3,K], langt [T,F,K], livet [T,1,K];
+      cfg: static (tile, chunk, interpret).
     Returns (color [T,3,P], lang [T,F,P], log_t_final [T,1,P]); the caller
     applies exp() and the background composite.
     """
-    out, _ = _blend_fwd(xy, conic, op, rgbt, langt, live, cfg)
+    out, _ = _blend_fwd(xyt, conict, opt, rgbt, langt, livet, cfg)
     return out
 
 
-def _blend_fwd(xy, conic, op, rgbt, langt, live, cfg):
+def _check_cfg(k, cfg):
     tile, chunk, interpret = cfg
-    t, k, _ = xy.shape
+    assert k % chunk == 0, "capacity must be a multiple of chunk"
+    if not interpret:
+        assert chunk % 128 == 0, (
+            f"on TPU the chunk ({chunk}) must be lane-aligned (multiple of 128)")
+
+
+def _blend_fwd(xyt, conict, opt, rgbt, langt, livet, cfg):
+    tile, chunk, interpret = cfg
+    t, _, k = xyt.shape
     n_color, n_feat = rgbt.shape[1], langt.shape[1]
     p = tile * tile
-    assert k % chunk == 0, "capacity must be a multiple of chunk"
-    ins, bs = _tile_specs(k, n_color, n_feat, p)
+    _check_cfg(k, cfg)
+    ins, bs = _specs(k, n_color, n_feat)
     kernel = functools.partial(
         _fwd_kernel, tile=tile, ch=chunk, n_chunks=k // chunk,
         n_color=n_color, n_feat=n_feat)
     out = pl.pallas_call(
-        _wrap(kernel),
+        kernel,
         grid=(t,),
         in_specs=ins,
         out_specs=[bs((n_color, p)), bs((n_feat, p)), bs((1, p))],
@@ -287,36 +285,36 @@ def _blend_fwd(xy, conic, op, rgbt, langt, live, cfg):
                    jax.ShapeDtypeStruct((t, n_feat, p), jnp.float32),
                    jax.ShapeDtypeStruct((t, 1, p), jnp.float32)],
         interpret=interpret,
-    )(xy, conic, op, rgbt, langt, live)
-    return tuple(out), (xy, conic, op, rgbt, langt, live)
+    )(xyt, conict, opt, rgbt, langt, livet)
+    return tuple(out), (xyt, conict, opt, rgbt, langt, livet)
 
 
 def _blend_bwd(cfg, residuals, grads):
-    xy, conic, op, rgbt, langt, live = residuals
+    xyt, conict, opt, rgbt, langt, livet = residuals
     gcolor, glang, glogtf = grads
     tile, chunk, interpret = cfg
-    t, k, _ = xy.shape
+    t, _, k = xyt.shape
     n_color, n_feat = rgbt.shape[1], langt.shape[1]
     p = tile * tile
-    ins, bs = _tile_specs(k, n_color, n_feat, p)
+    ins, bs = _specs(k, n_color, n_feat)
     ins = ins + [bs((n_color, p)), bs((n_feat, p)), bs((1, p))]
     kernel = functools.partial(
         _bwd_kernel, tile=tile, ch=chunk, n_chunks=k // chunk,
         n_color=n_color, n_feat=n_feat)
-    dxy, dconic, dop, drgbt, dlangt = pl.pallas_call(
-        _wrap(kernel),
+    dxyt, dconict, dopt, drgbt, dlangt = pl.pallas_call(
+        kernel,
         grid=(t,),
         in_specs=ins,
-        out_specs=[bs((k, 2)), bs((k, 3)), bs((k, 1)),
+        out_specs=[bs((2, k)), bs((3, k)), bs((1, k)),
                    bs((n_color, k)), bs((n_feat, k))],
-        out_shape=[jax.ShapeDtypeStruct((t, k, 2), jnp.float32),
-                   jax.ShapeDtypeStruct((t, k, 3), jnp.float32),
-                   jax.ShapeDtypeStruct((t, k, 1), jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct((t, 2, k), jnp.float32),
+                   jax.ShapeDtypeStruct((t, 3, k), jnp.float32),
+                   jax.ShapeDtypeStruct((t, 1, k), jnp.float32),
                    jax.ShapeDtypeStruct((t, n_color, k), jnp.float32),
                    jax.ShapeDtypeStruct((t, n_feat, k), jnp.float32)],
         interpret=interpret,
-    )(xy, conic, op, rgbt, langt, live, gcolor, glang, glogtf)
-    return (dxy, dconic, dop, drgbt, dlangt, jnp.zeros_like(live))
+    )(xyt, conict, opt, rgbt, langt, livet, gcolor, glang, glogtf)
+    return (dxyt, dconict, dopt, drgbt, dlangt, jnp.zeros_like(livet))
 
 
 blend_tiles_pallas.defvjp(_blend_fwd, _blend_bwd)

@@ -235,18 +235,18 @@ def _blend_tiles_pallas_path(pre: gm.ProjectedGaussians, lang: jnp.ndarray,
                          (t_ids // tiles_x) * cfg.tile],
                         axis=-1).astype(jnp.float32)
 
-    # TILE-LOCAL splat centers: keeps the kernel's expanded quadratic form
-    # fp32-accurate (see pallas_blend._pixel_monomials)
-    xy = pre.means2d[gidx] - origins[:, None, :]            # [T, K, 2]
-    conic = pre.conic[gidx]
-    op = pre.opacity[gidx][..., None]
+    # TILE-LOCAL splat centers (fp32 accuracy of the kernel's quadratic form);
+    # splat axis LAST — Mosaic needs the dynamically-chunked axis lane-aligned.
+    xyt = jnp.swapaxes(pre.means2d[gidx] - origins[:, None, :], 1, 2)  # [T,2,K]
+    conict = jnp.swapaxes(pre.conic[gidx], 1, 2)            # [T, 3, K]
+    opt = pre.opacity[gidx][:, None, :]                     # [T, 1, K]
     rgbt = jnp.swapaxes(pre.rgb[gidx], 1, 2)                # [T, 3, K]
     langt = jnp.swapaxes(lang[gidx], 1, 2)                  # [T, F, K]
-    live = in_list.astype(jnp.float32)[..., None]
+    livet = in_list.astype(jnp.float32)[:, None, :]         # [T, 1, K]
 
     interpret = jax.default_backend() != "tpu"
     color_t, lang_t, logtf = blend_tiles_pallas(
-        xy, conic, op, rgbt, langt, live,
+        xyt, conict, opt, rgbt, langt, livet,
         (cfg.tile, min(cfg.chunk, k_cap), interpret))
 
     final_t = jnp.exp(logtf[:, 0, :])                       # [T, P]
