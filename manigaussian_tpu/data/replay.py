@@ -28,17 +28,38 @@ Transition = Dict[str, np.ndarray]
 
 class TaskUniformReplay:
     def __init__(self, save_dir: Optional[str] = None,
-                 shard: tuple[int, int] = (0, 1)):
+                 shard: tuple[int, int] = (0, 1),
+                 storage: str = "native"):
+        """storage: 'native' = C++ mmap record store (one log per task,
+        native/replay_store.cpp — falls back to pickle if the toolchain is
+        missing); 'pickle' = one file per transition (reference layout)."""
         self.save_dir = save_dir
         self.rank, self.num_replicas = shard
         self._mem: Dict[str, List[Transition]] = {}
         self._disk: Dict[str, List[str]] = {}
+        self._stores: Dict[str, object] = {}
+        self.storage = storage
+        if storage == "native":
+            from manigaussian_tpu.data.native_store import load_library
+            if load_library() is None:
+                self.storage = "pickle"
         if save_dir:
             os.makedirs(save_dir, exist_ok=True)
 
+    def _store(self, task: str):
+        if task not in self._stores:
+            from manigaussian_tpu.data.native_store import NativeRecordStore
+            self._stores[task] = NativeRecordStore(
+                os.path.join(self.save_dir, task, "records"))
+        return self._stores[task]
+
     # ------------------------------------------------------------------ add
     def add(self, task: str, transition: Transition) -> None:
-        if self.save_dir:
+        if self.save_dir and self.storage == "native":
+            from manigaussian_tpu.data.native_store import encode_transition
+            os.makedirs(os.path.join(self.save_dir, task), exist_ok=True)
+            self._store(task).append(encode_transition(transition))
+        elif self.save_dir:
             d = os.path.join(self.save_dir, task)
             os.makedirs(d, exist_ok=True)
             idx = len(self._disk.setdefault(task, []))
@@ -52,14 +73,21 @@ class TaskUniformReplay:
     # ---------------------------------------------------------------- state
     @property
     def tasks(self) -> List[str]:
-        return sorted(set(self._mem) | set(self._disk))
+        return sorted(set(self._mem) | set(self._disk) | set(self._stores))
 
     def size(self, task: Optional[str] = None) -> int:
         def one(t):
-            return len(self._mem.get(t, [])) + len(self._disk.get(t, []))
+            n = len(self._mem.get(t, [])) + len(self._disk.get(t, []))
+            if t in self._stores:
+                n += len(self._stores[t])
+            return n
         if task is not None:
             return one(task)
         return sum(one(t) for t in self.tasks)
+
+    def flush(self) -> None:
+        for s in self._stores.values():
+            s.flush()
 
     def reload_from_disk(self) -> None:
         """Re-index an existing save_dir (resume semantics, run_seed_fn.py:82-91:
@@ -67,9 +95,14 @@ class TaskUniformReplay:
         if not self.save_dir:
             return
         self._disk.clear()
+        self._stores.clear()
         for task in sorted(os.listdir(self.save_dir)):
             d = os.path.join(self.save_dir, task)
             if not os.path.isdir(d):
+                continue
+            if (self.storage == "native"
+                    and os.path.exists(os.path.join(d, "records.idx"))):
+                self._store(task)  # opens the existing log
                 continue
             files = [f for f in os.listdir(d) if f.endswith(".replay")]
             files.sort(key=lambda s: int(s.split(".")[0]))
@@ -86,7 +119,11 @@ class TaskUniformReplay:
         mem = self._mem.get(task, [])
         if idx < len(mem):
             return mem[idx]
-        path = self._disk[task][idx - len(mem)]
+        idx -= len(mem)
+        if task in self._stores:
+            from manigaussian_tpu.data.native_store import decode_transition
+            return decode_transition(self._stores[task].get(idx))
+        path = self._disk[task][idx]
         with open(path, "rb") as f:
             return pickle.load(f)
 

@@ -88,6 +88,7 @@ def test_disk_backed_replay_reload(dataset, tmp_path):
                 SCENE_BOUNDS, 100, 5, 25, lang)
     n = replay.size()
     assert n > 0
+    replay.flush()  # persist the native log before a second reader opens it
     # new instance reloads the same files (resume semantics)
     replay2 = TaskUniformReplay(save_dir=str(tmp_path / "replay"))
     replay2.reload_from_disk()

@@ -77,6 +77,7 @@ def main(argv=None):
                 cfg.method.voxel_sizes[0], cfg.method.rotation_resolution,
                 cfg.rlbench.episode_length, lang)
             print(f"[replay] {task}: {n} transitions")
+        replay.flush()
 
     embed_fn = None
     fm_name = cfg.method.neural_renderer.foundation_model_name
