@@ -126,26 +126,38 @@ def _chunk_state(xyt, conict, opt, livet, mono_t, log_t_raw, fail_any,
                 new_log_t_raw=new_log_t_raw, new_fail_any=new_fail_any)
 
 
-def _fwd_kernel(xyt_ref, conict_ref, opt_ref, rgbt_ref, langt_ref, livet_ref,
-                color_ref, lang_ref, logtf_ref,
+def _fwd_kernel(count_ref, xyt_ref, conict_ref, opt_ref, rgbt_ref, langt_ref,
+                livet_ref, color_ref, lang_ref, logtf_ref,
                 *, tile, ch, n_chunks, n_color, n_feat):
     p = tile * tile
     mono_t = _pixel_monomials_t(tile)
     u_incl = _tri_upper(ch, strict=False)
     u_strict = _tri_upper(ch, strict=True)
+    count = count_ref[0]
 
     def body(c, carry):
+        # EARLY EXIT (the analog of renderCUDA's done/__syncthreads_count
+        # break, forward.cu:277-285): skip chunks past the tile's splat count
+        # or once every pixel has latched T<eps. Skipped chunks are exact
+        # no-ops (live=0 ⇒ a=0), so this never changes the result.
         log_t_raw, log_t_final, fail_any, color_acc, lang_acc = carry
-        sl = pl.ds(c * ch, ch)
-        s = _chunk_state(xyt_ref[:, sl], conict_ref[:, sl], opt_ref[:, sl],
-                         livet_ref[:, sl], mono_t, log_t_raw, fail_any,
-                         u_incl, u_strict)
-        color_acc = color_acc + _dot_nt(rgbt_ref[:, sl], s["w"])   # [3, P]
-        lang_acc = lang_acc + _dot_nt(langt_ref[:, sl], s["w"])    # [F, P]
-        log_t_final = log_t_final + jnp.sum(
-            jnp.where(s["contrib"], s["log1m"], 0.0), axis=1, keepdims=True)
-        return (s["new_log_t_raw"], log_t_final, s["new_fail_any"],
-                color_acc, lang_acc)
+        all_latched = jnp.min(fail_any) > 0.5
+
+        def run(carry):
+            log_t_raw, log_t_final, fail_any, color_acc, lang_acc = carry
+            sl = pl.ds(c * ch, ch)
+            s = _chunk_state(xyt_ref[:, sl], conict_ref[:, sl], opt_ref[:, sl],
+                             livet_ref[:, sl], mono_t, log_t_raw, fail_any,
+                             u_incl, u_strict)
+            color_acc = color_acc + _dot_nt(rgbt_ref[:, sl], s["w"])   # [3, P]
+            lang_acc = lang_acc + _dot_nt(langt_ref[:, sl], s["w"])    # [F, P]
+            log_t_final = log_t_final + jnp.sum(
+                jnp.where(s["contrib"], s["log1m"], 0.0), axis=1, keepdims=True)
+            return (s["new_log_t_raw"], log_t_final, s["new_fail_any"],
+                    color_acc, lang_acc)
+
+        return jax.lax.cond((c * ch < count) & jnp.logical_not(all_latched),
+                            run, lambda x: x, carry)
 
     init = (jnp.zeros((p, 1), jnp.float32), jnp.zeros((p, 1), jnp.float32),
             jnp.zeros((p, 1), jnp.float32),
@@ -158,29 +170,43 @@ def _fwd_kernel(xyt_ref, conict_ref, opt_ref, rgbt_ref, langt_ref, livet_ref,
     logtf_ref[:, :] = jnp.transpose(log_t_final)           # [1, P]
 
 
-def _bwd_kernel(xyt_ref, conict_ref, opt_ref, rgbt_ref, langt_ref, livet_ref,
-                gcolor_ref, glang_ref, glogtf_ref,
+def _bwd_kernel(count_ref, xyt_ref, conict_ref, opt_ref, rgbt_ref, langt_ref,
+                livet_ref, gcolor_ref, glang_ref, glogtf_ref,
                 dxyt_ref, dconict_ref, dopt_ref, drgbt_ref, dlangt_ref,
                 *, tile, ch, n_chunks, n_color, n_feat):
     p = tile * tile
     mono_t = _pixel_monomials_t(tile)
     u_incl = _tri_upper(ch, strict=False)
     u_strict = _tri_upper(ch, strict=True)
+    count = count_ref[0]
+    # grad outputs are written only for chunks the guarded loops visit — zero
+    # the rest up front (skipped chunks have zero grads by construction)
+    dxyt_ref[:, :] = jnp.zeros_like(dxyt_ref)
+    dconict_ref[:, :] = jnp.zeros_like(dconict_ref)
+    dopt_ref[:, :] = jnp.zeros_like(dopt_ref)
+    drgbt_ref[:, :] = jnp.zeros_like(drgbt_ref)
+    dlangt_ref[:, :] = jnp.zeros_like(dlangt_ref)
     gcolor = gcolor_ref[:, :]                              # [3, P]
     glang = glang_ref[:, :]                                # [F, P]
     glogtf = jnp.transpose(glogtf_ref[:, :])               # [P, 1]
 
     # ---- pass 1 (forward replay): total Σ w·g per pixel
     def pass1(c, carry):
-        log_t_raw, fail_any, total_wg = carry
-        sl = pl.ds(c * ch, ch)
-        s = _chunk_state(xyt_ref[:, sl], conict_ref[:, sl], opt_ref[:, sl],
-                         livet_ref[:, sl], mono_t, log_t_raw, fail_any,
-                         u_incl, u_strict)
-        gsplat = _dot_tn(gcolor, rgbt_ref[:, sl]) \
-            + _dot_tn(glang, langt_ref[:, sl])             # [P, CH]
-        total_wg = total_wg + jnp.sum(s["w"] * gsplat, axis=1, keepdims=True)
-        return (s["new_log_t_raw"], s["new_fail_any"], total_wg)
+        def run(carry):
+            log_t_raw, fail_any, total_wg = carry
+            sl = pl.ds(c * ch, ch)
+            s = _chunk_state(xyt_ref[:, sl], conict_ref[:, sl], opt_ref[:, sl],
+                             livet_ref[:, sl], mono_t, log_t_raw, fail_any,
+                             u_incl, u_strict)
+            gsplat = _dot_tn(gcolor, rgbt_ref[:, sl]) \
+                + _dot_tn(glang, langt_ref[:, sl])         # [P, CH]
+            total_wg = total_wg + jnp.sum(s["w"] * gsplat, axis=1,
+                                          keepdims=True)
+            return (s["new_log_t_raw"], s["new_fail_any"], total_wg)
+
+        all_latched = jnp.min(carry[1]) > 0.5
+        return jax.lax.cond((c * ch < count) & jnp.logical_not(all_latched),
+                            run, lambda x: x, carry)
 
     init1 = (jnp.zeros((p, 1), jnp.float32), jnp.zeros((p, 1), jnp.float32),
              jnp.zeros((p, 1), jnp.float32))
@@ -229,9 +255,14 @@ def _bwd_kernel(xyt_ref, conict_ref, opt_ref, rgbt_ref, langt_ref, livet_ref,
         prefix_wg = prefix_wg + jnp.sum(wg, axis=1, keepdims=True)
         return (s["new_log_t_raw"], s["new_fail_any"], prefix_wg)
 
+    def pass2_guarded(c, carry):
+        all_latched = jnp.min(carry[1]) > 0.5
+        return jax.lax.cond((c * ch < count) & jnp.logical_not(all_latched),
+                            lambda x: pass2(c, x), lambda x: x, carry)
+
     init2 = (jnp.zeros((p, 1), jnp.float32), jnp.zeros((p, 1), jnp.float32),
              jnp.zeros((p, 1), jnp.float32))
-    jax.lax.fori_loop(0, n_chunks, pass2, init2)
+    jax.lax.fori_loop(0, n_chunks, pass2_guarded, init2)
 
 
 def _specs(k, n_color, n_feat):
@@ -239,22 +270,27 @@ def _specs(k, n_color, n_feat):
         return pl.BlockSpec((None,) + shape,
                             lambda t: (t,) + (0,) * len(shape),
                             memory_space=pltpu.VMEM)
-    ins = [bs((2, k)), bs((3, k)), bs((1, k)),              # xyt conict opt
+    counts = pl.BlockSpec((None, 1), lambda t: (t, 0),
+                          memory_space=pltpu.SMEM)
+    ins = [counts,
+           bs((2, k)), bs((3, k)), bs((1, k)),              # xyt conict opt
            bs((n_color, k)), bs((n_feat, k)), bs((1, k))]   # rgbt langt livet
     return ins, bs
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def blend_tiles_pallas(xyt, conict, opt, rgbt, langt, livet, cfg):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def blend_tiles_pallas(counts, xyt, conict, opt, rgbt, langt, livet, cfg):
     """Differentiable per-tile blend.
 
-    Args (fp32, splat axis LAST): xyt [T,2,K] TILE-LOCAL centers,
-      conict [T,3,K], opt [T,1,K], rgbt [T,3,K], langt [T,F,K], livet [T,1,K];
+    Args: counts [T, 1] int32 per-tile splat counts (early-exit bound;
+      NON-differentiable leading arg), then fp32 with the splat axis LAST:
+      xyt [T,2,K] TILE-LOCAL centers, conict [T,3,K], opt [T,1,K],
+      rgbt [T,3,K], langt [T,F,K], livet [T,1,K];
       cfg: static (tile, chunk, interpret).
     Returns (color [T,3,P], lang [T,F,P], log_t_final [T,1,P]); the caller
     applies exp() and the background composite.
     """
-    out, _ = _blend_fwd(xyt, conict, opt, rgbt, langt, livet, cfg)
+    out, _ = _blend_fwd(counts, xyt, conict, opt, rgbt, langt, livet, cfg)
     return out
 
 
@@ -266,7 +302,7 @@ def _check_cfg(k, cfg):
             f"on TPU the chunk ({chunk}) must be lane-aligned (multiple of 128)")
 
 
-def _blend_fwd(xyt, conict, opt, rgbt, langt, livet, cfg):
+def _blend_fwd(counts, xyt, conict, opt, rgbt, langt, livet, cfg):
     tile, chunk, interpret = cfg
     t, _, k = xyt.shape
     n_color, n_feat = rgbt.shape[1], langt.shape[1]
@@ -285,12 +321,12 @@ def _blend_fwd(xyt, conict, opt, rgbt, langt, livet, cfg):
                    jax.ShapeDtypeStruct((t, n_feat, p), jnp.float32),
                    jax.ShapeDtypeStruct((t, 1, p), jnp.float32)],
         interpret=interpret,
-    )(xyt, conict, opt, rgbt, langt, livet)
-    return tuple(out), (xyt, conict, opt, rgbt, langt, livet)
+    )(counts, xyt, conict, opt, rgbt, langt, livet)
+    return tuple(out), (counts, xyt, conict, opt, rgbt, langt, livet)
 
 
 def _blend_bwd(cfg, residuals, grads):
-    xyt, conict, opt, rgbt, langt, livet = residuals
+    counts, xyt, conict, opt, rgbt, langt, livet = residuals
     gcolor, glang, glogtf = grads
     tile, chunk, interpret = cfg
     t, _, k = xyt.shape
@@ -313,8 +349,11 @@ def _blend_bwd(cfg, residuals, grads):
                    jax.ShapeDtypeStruct((t, n_color, k), jnp.float32),
                    jax.ShapeDtypeStruct((t, n_feat, k), jnp.float32)],
         interpret=interpret,
-    )(xyt, conict, opt, rgbt, langt, livet, gcolor, glang, glogtf)
-    return (dxyt, dconict, dopt, drgbt, dlangt, jnp.zeros_like(livet))
+    )(counts, xyt, conict, opt, rgbt, langt, livet, gcolor, glang, glogtf)
+    import numpy as _np
+    dcounts = _np.zeros(counts.shape, dtype=jax.dtypes.float0)  # int arg
+    return (dcounts, dxyt, dconict, dopt, drgbt, dlangt,
+            jnp.zeros_like(livet))
 
 
 blend_tiles_pallas.defvjp(_blend_fwd, _blend_bwd)

@@ -244,9 +244,12 @@ def _blend_tiles_pallas_path(pre: gm.ProjectedGaussians, lang: jnp.ndarray,
     langt = jnp.swapaxes(lang[gidx], 1, 2)                  # [T, F, K]
     livet = in_list.astype(jnp.float32)[:, None, :]         # [T, 1, K]
 
+    # per-tile live-splat counts bound the kernel's chunk loop (early exit)
+    counts = jnp.sum(in_list, axis=1, dtype=jnp.int32)[:, None]  # [T, 1]
+
     interpret = jax.default_backend() != "tpu"
     color_t, lang_t, logtf = blend_tiles_pallas(
-        xyt, conict, opt, rgbt, langt, livet,
+        counts, xyt, conict, opt, rgbt, langt, livet,
         (cfg.tile, min(cfg.chunk, k_cap), interpret))
 
     final_t = jnp.exp(logtf[:, 0, :])                       # [T, P]
