@@ -49,7 +49,7 @@ def main():
     camera = make_camera(size)
     cfg = RasterizeConfig(width=size, height=size, tile=16,
                           max_tiles_per_gaussian=16, tile_capacity=8192,
-                          chunk=512, sh_degree=1)
+                          chunk=256, sh_degree=1)
     scene = make_scene(jax.random.PRNGKey(0), n)
     tgt = jax.random.uniform(jax.random.PRNGKey(1), (size, size, 3))
 
