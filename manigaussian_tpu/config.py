@@ -113,6 +113,8 @@ class MethodConfig:
     activation: str = "lrelu"
     # augmentation
     crop_augmentation: bool = True
+    demo_augmentation: bool = True
+    demo_augmentation_every_n: int = 10
     apply_se3: bool = True
     aug_xyz: Tuple[float, float, float] = (0.125, 0.125, 0.125)
     aug_rpy: Tuple[float, float, float] = (0.0, 0.0, 45.0)

@@ -133,7 +133,7 @@ def _fwd_kernel(count_ref, xyt_ref, conict_ref, opt_ref, rgbt_ref, langt_ref,
     mono_t = _pixel_monomials_t(tile)
     u_incl = _tri_upper(ch, strict=False)
     u_strict = _tri_upper(ch, strict=True)
-    count = count_ref[0]
+    count = count_ref[pl.program_id(0), 0]
 
     def body(c, carry):
         # EARLY EXIT (the analog of renderCUDA's done/__syncthreads_count
@@ -178,7 +178,7 @@ def _bwd_kernel(count_ref, xyt_ref, conict_ref, opt_ref, rgbt_ref, langt_ref,
     mono_t = _pixel_monomials_t(tile)
     u_incl = _tri_upper(ch, strict=False)
     u_strict = _tri_upper(ch, strict=True)
-    count = count_ref[0]
+    count = count_ref[pl.program_id(0), 0]
     # grad outputs are written only for chunks the guarded loops visit — zero
     # the rest up front (skipped chunks have zero grads by construction)
     dxyt_ref[:, :] = jnp.zeros_like(dxyt_ref)
@@ -270,8 +270,9 @@ def _specs(k, n_color, n_feat):
         return pl.BlockSpec((None,) + shape,
                             lambda t: (t,) + (0,) * len(shape),
                             memory_space=pltpu.VMEM)
-    counts = pl.BlockSpec((None, 1), lambda t: (t, 0),
-                          memory_space=pltpu.SMEM)
+    # whole counts array in SMEM (Mosaic disallows tiny blocked SMEM slices);
+    # kernels index their tile via pl.program_id(0)
+    counts = pl.BlockSpec(memory_space=pltpu.SMEM)
     ins = [counts,
            bs((2, k)), bs((3, k)), bs((1, k)),              # xyt conict opt
            bs((n_color, k)), bs((n_feat, k)), bs((1, k))]   # rgbt langt livet

@@ -42,6 +42,19 @@ def test_unknown_key_rejected():
         load_config(overrides=["method.nonexistent_key=1"])
 
 
+def test_yaml_conf_tree_loads():
+    """conf/*.yaml (reference key-tree parity) load onto the dataclasses."""
+    import os
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = load_config(os.path.join(root, "conf", "config.yaml"))
+    assert cfg.framework.training_iterations == 100010
+    cfg = load_config(os.path.join(root, "conf", "method",
+                                   "ManiGaussian_BC.yaml"))
+    assert cfg.method.name == "ManiGaussian_BC"
+    assert cfg.method.neural_renderer.mlp.d_hidden == 512
+    assert cfg.method.neural_renderer.foundation_model_name is None
+
+
 def test_save_and_reload(tmp_path):
     cfg = C.w_geo_sem_dyna()
     save_config(cfg, str(tmp_path))

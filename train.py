@@ -75,7 +75,10 @@ def main(argv=None):
                 replay, args.demo_root, task, cfg.rlbench.demos,
                 cfg.rlbench.cameras, cfg.rlbench.scene_bounds,
                 cfg.method.voxel_sizes[0], cfg.method.rotation_resolution,
-                cfg.rlbench.episode_length, lang)
+                cfg.rlbench.episode_length, lang,
+                demo_augmentation=cfg.method.demo_augmentation,
+                demo_augmentation_every_n=cfg.method.demo_augmentation_every_n,
+                keypoint_method=cfg.method.keypoint_method)
             print(f"[replay] {task}: {n} transitions")
         replay.flush()
 
