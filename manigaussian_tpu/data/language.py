@@ -87,6 +87,35 @@ class ClipLanguageModel:
         return sent.astype(np.float32), token_embs.astype(np.float32)
 
 
+class T5LanguageModel:
+    """T5 encoder from a LOCAL checkpoint (helpers/language_model.py:15-33
+    offers T5 as the alternative to CLIP; 768-d tokens are projected into the
+    77×512 slot with a fixed random projection so downstream shapes match)."""
+
+    def __init__(self, checkpoint_dir: str):
+        from transformers import T5EncoderModel, T5TokenizerFast
+        self.tokenizer = T5TokenizerFast.from_pretrained(checkpoint_dir)
+        self.model = T5EncoderModel.from_pretrained(checkpoint_dir).eval()
+        rng = np.random.default_rng(0)
+        d = self.model.config.d_model
+        self._proj = (rng.standard_normal((d, TOKEN_DIM))
+                      / np.sqrt(d)).astype(np.float32)
+
+    def encode(self, text: str):
+        import torch
+        with torch.no_grad():
+            toks = self.tokenizer(text, padding="max_length",
+                                  max_length=MAX_TOKENS, truncation=True,
+                                  return_tensors="pt")
+            hidden = self.model(**toks).last_hidden_state[0].float().numpy()
+        token_embs = hidden @ self._proj
+        sent = hidden.mean(0)
+        if sent.shape[0] < SENTENCE_DIM:
+            sent = np.concatenate(
+                [sent, np.zeros(SENTENCE_DIM - sent.shape[0], np.float32)])
+        return sent[:SENTENCE_DIM].astype(np.float32), token_embs
+
+
 class CachedLanguageModel:
     """On-disk cache: <cache_dir>/<sha1(text)>.npz."""
 
@@ -117,6 +146,8 @@ def create_language_model(name: str = "stub",
     """Factory (parity: helpers/language_model.py:15-33 create_language_model)."""
     if name in ("CLIP", "clip") and checkpoint_dir:
         model: LanguageModel = ClipLanguageModel(checkpoint_dir)
+    elif name in ("T5", "t5") and checkpoint_dir:
+        model = T5LanguageModel(checkpoint_dir)
     else:
         model = HashedStubLanguageModel()
     if cache_dir:

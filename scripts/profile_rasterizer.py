@@ -4,14 +4,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp
 from manigaussian_tpu.ops import gaussian_math as gm
 from manigaussian_tpu.ops.rasterizer import (RasterizeConfig, _build_keys,
-                                             _tile_gather, _blend_tiles, rasterize)
+                                             _tile_gather, rasterize)
+from manigaussian_tpu.ops.pallas_blend import blend_tiles_pallas
 import bench as B
 
 n, size = 65536, 128
 camera = B.make_camera(size)
 cfg = RasterizeConfig(width=size, height=size, tile=16,
-                      max_tiles_per_gaussian=16, tile_capacity=4096,
-                      chunk=512, sh_degree=1)
+                      max_tiles_per_gaussian=16, tile_capacity=8192,
+                      chunk=256, sh_degree=1)
 means, scales, rotations, opacities, shs, lang = B.make_scene(jax.random.PRNGKey(0), n)
 tgt = jax.random.uniform(jax.random.PRNGKey(1), (size, size, 3))
 
@@ -23,47 +24,45 @@ def timeit(name, fn, *args, iters=20):
         out = fn(*args)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
-    print(f"{name:32s} {dt*1000:8.2f} ms")
+    print(f"{name:34s} {dt*1000:8.2f} ms", flush=True)
     return out
 
 
-@jax.jit
-def preprocess():
-    return gm.preprocess(means, opacities, camera, size, size, 16,
-                         scales=scales, rotations=rotations, shs=shs, sh_degree=1)
+pre = timeit("preprocess", jax.jit(lambda: gm.preprocess(
+    means, opacities, camera, size, size, 16, scales=scales,
+    rotations=rotations, shs=shs, sh_degree=1)))
+st, sg, og, nt = timeit("build_keys+sort", jax.jit(lambda: _build_keys(pre, cfg)))
+gi, il, cnt, ov = timeit("tile_gather", jax.jit(lambda: _tile_gather(st, sg, 64, cfg.tile_capacity)))
+print("counts max/mean:", int(jnp.max(cnt)), float(jnp.mean(cnt)), "overflow:", int(ov))
 
-pre = timeit("preprocess", preprocess)
-
-@jax.jit
-def keys():
-    return _build_keys(pre, cfg)
-
-st, sg, og, nt = timeit("build_keys+sort", keys)
-
-@jax.jit
-def gather():
-    return _tile_gather(st, sg, 64, cfg.tile_capacity)
-
-gi, il, cnt, ov = timeit("tile_gather", gather)
-print("counts max/mean:", int(jnp.max(cnt)), float(jnp.mean(cnt)),
-      "overflow:", int(ov))
+# gathered tensors for the kernel
+tiles_x = 8
+t_ids = jnp.arange(64)
+origins = jnp.stack([(t_ids % tiles_x) * 16, (t_ids // tiles_x) * 16], -1).astype(jnp.float32)
 
 @jax.jit
-def blend():
-    return _blend_tiles(pre, lang, gi, il, cfg, jnp.zeros(3))
+def gather_big():
+    xyt = jnp.swapaxes(pre.means2d[gi] - origins[:, None, :], 1, 2)
+    conict = jnp.swapaxes(pre.conic[gi], 1, 2)
+    opt = pre.opacity[gi][:, None, :]
+    rgbt = jnp.swapaxes(pre.rgb[gi], 1, 2)
+    langt = jnp.swapaxes(lang[gi], 1, 2)
+    livet = il.astype(jnp.float32)[:, None, :]
+    counts = jnp.sum(il, axis=1, dtype=jnp.int32)[:, None]
+    return counts, xyt, conict, opt, rgbt, langt, livet
 
-timeit("blend fwd", blend)
+gathered = timeit("param gather+transpose", gather_big)
 
-@jax.jit
-def blend_bwd(means_, scales_):
-    def f(m, s):
-        p = gm.preprocess(m, opacities, camera, size, size, 16,
-                          scales=s, rotations=rotations, shs=shs, sh_degree=1)
-        c, lf, ft = _blend_tiles(p, lang, gi, il, cfg, jnp.zeros(3))
-        return jnp.sum((c - tgt) ** 2) + jnp.sum(lf ** 2)
-    return jax.grad(f, argnums=(0, 1))(means_, scales_)
+kcfg = (16, 256, False)
+timeit("pallas kernel fwd", jax.jit(lambda: blend_tiles_pallas(*gathered, kcfg)))
 
-timeit("preprocess+blend fwd+bwd", blend_bwd, means, scales)
+def kloss(xyt, conict, opt, rgbt, langt):
+    c, l, t = blend_tiles_pallas(gathered[0], xyt, conict, opt, rgbt, langt,
+                                 gathered[6], kcfg)
+    return jnp.sum(c ** 2) + jnp.sum(l ** 2) + jnp.sum(t ** 2)
+
+timeit("pallas kernel fwd+bwd", jax.jit(jax.grad(kloss, argnums=(0,1,2,3,4))),
+       *gathered[1:6])
 
 @jax.jit
 def full_fwd():
@@ -80,5 +79,5 @@ def loss(*args):
                        language_features=args[5])
     return jnp.sum((out.color - tgt) ** 2) + jnp.sum(out.language_feature ** 2)
 
-full_bwd = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4, 5)))
-timeit("full fwd+bwd", full_bwd, means, scales, rotations, opacities, shs, lang)
+timeit("full fwd+bwd", jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4, 5))),
+       means, scales, rotations, opacities, shs, lang)
