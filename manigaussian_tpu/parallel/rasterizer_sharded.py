@@ -126,7 +126,7 @@ def rasterize_sharded(mesh: Mesh,
         local_render_shifted, mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(), P()),
         out_specs=(P(), P(), P()),
-        check_rep=False)
+        check_vma=False)
     color, lang_img, final_t = fn(means3d, opacities, scales, rotations, shs,
                                   lang)
     radii = gm.preprocess(means3d, opacities, camera, cfg.width, cfg.height,
