@@ -13,6 +13,8 @@ This is the performance centerpiece replacing `renderCUDA`
   * the Gaussian falloff is evaluated as a quadratic-form matmul
     `monomials[P,6] @ coeff[6,CH]` (MXU) instead of per-pixel VPU chains;
   * per-pixel color/feature accumulation is a [3,CH]·[P,CH]ᵀ matmul (MXU);
+  * chunks past the tile's splat count, or after every pixel latches T<eps,
+    are skipped (the renderCUDA done/break analog) — exact no-ops either way;
   * backward recomputes the forward per chunk (flash-attention-style — no big
     residuals) and uses the suffix-sum identity
         dL/da_i = T_i·g_i − (S_i + dL/dlogT_final)/(1−a_i),
@@ -20,19 +22,21 @@ This is the performance centerpiece replacing `renderCUDA`
     (the associative form of backward.cu's `accum_rec` back-to-front replay),
     then reduces analytic d(power)/d{mean2d, conic, opacity} on-chip.
 
-Memory layout (Mosaic constraint: dynamically-sliced axes must be lane-aligned):
-every per-splat ref is 2-D `[channels, K]` — the splat axis K sits on lanes and
-chunk slices are multiples of 128 on real TPUs (any chunk in interpret mode);
-per-splat scalars broadcast as [1, CH] rows against [P, CH] pixel matrices.
+Data layout: ALL per-splat attributes arrive PACKED channel-first as one
+`attrs [C, T, K]` tensor (rows: xy 2, conic 3, opacity 1, rgb 3, features F),
+gathered once in XLA from a `[C, N]` table (gather_splats below) — one gather,
+one scatter in the backward, no minor-dim transposes (6 separate gathers +
+swapaxes measured ~15 ms fwd / ~40 ms bwd at the 65k/128² workload). The splat
+axis K is minor and lane-aligned (Mosaic requires dynamically-sliced axes
+aligned to 128 on hardware; interpret mode accepts any chunk). Tile-local
+coordinates are formed IN-kernel by subtracting the tile origin (SMEM) so the
+expanded quadratic form stays fp32-accurate.
 
 Gradient semantics match the pure-jax oracle (ops/rasterizer_ref.py) — i.e.
 jnp.minimum/where-gated autodiff: clamped alphas (0.99), skipped splats
 (power>0, alpha<1/255) and latched pixels get zero gradient. (The CUDA backward
 leaves the 0.99 clamp ungated, backward.cu:478-490 — a semantics bug we do not
-replicate; alphas at the clamp are saturated anyway.)
-
-All tensors fp32; matmul accumulation fp32. Splat centers arrive TILE-LOCAL
-(xy − tile_origin) so the expanded quadratic form stays fp32-accurate.
+replicate.) All tensors fp32; matmul accumulation fp32.
 """
 
 from __future__ import annotations
@@ -41,12 +45,17 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 ALPHA_MAX = 0.99
 ALPHA_MIN = 1.0 / 255.0
 T_EPS = 1e-4
+
+# packed attribute rows
+RGB = slice(6, 9)
+FEAT0 = 9  # features start here; C = 9 + n_feat
 
 
 def _pixel_monomials_t(tile: int):
@@ -57,23 +66,6 @@ def _pixel_monomials_t(tile: int):
     py = (local // tile).astype(jnp.float32)
     one = jnp.ones_like(px)
     return jnp.concatenate([one, px, py, px * px, px * py, py * py], axis=1)
-
-
-def _splat_coeffs(xyt, conict):
-    """[6, CH] power coefficients from row-vector splat attrs ([2,CH], [3,CH]).
-
-    power = -0.5a(xm-px)² - 0.5c(ym-py)² - b(xm-px)(ym-py), conic=(a, b, c).
-    """
-    xm, ym = xyt[0:1, :], xyt[1:2, :]
-    a, b, c = conict[0:1, :], conict[1:2, :], conict[2:3, :]
-    return jnp.concatenate([
-        -0.5 * a * xm * xm - 0.5 * c * ym * ym - b * xm * ym,   # 1
-        a * xm + b * ym,                                        # px
-        c * ym + b * xm,                                        # py
-        -0.5 * a,                                               # px²
-        -b,                                                     # px·py
-        -0.5 * c,                                               # py²
-    ], axis=0)
 
 
 def _tri_upper(ch: int, strict: bool):
@@ -100,13 +92,32 @@ def _dot_tn(a, b):
                                preferred_element_type=jnp.float32)
 
 
-def _chunk_state(xyt, conict, opt, livet, mono_t, log_t_raw, fail_any,
+def _splat_coeffs(xm, ym, ca, cb, cc):
+    """[6, CH] power coefficients from [1, CH] rows.
+
+    power = -0.5a(xm-px)² - 0.5c(ym-py)² - b(xm-px)(ym-py), conic=(a, b, c).
+    """
+    return jnp.concatenate([
+        -0.5 * ca * xm * xm - 0.5 * cc * ym * ym - cb * xm * ym,
+        ca * xm + cb * ym,
+        cc * ym + cb * xm,
+        -0.5 * ca,
+        -cb,
+        -0.5 * cc,
+    ], axis=0)
+
+
+def _chunk_state(attrs, livet, ox, oy, mono_t, log_t_raw, fail_any,
                  u_incl, u_strict):
-    """Shared fwd math for one chunk. Pixel-major: [P, CH] matrices."""
-    coeff = _splat_coeffs(xyt, conict)                    # [6, CH]
+    """Shared fwd math for one chunk; attrs [C, CH] packed, pixel-major [P, CH]."""
+    xm = attrs[0:1, :] - ox
+    ym = attrs[1:2, :] - oy
+    ca, cb, cc = attrs[2:3, :], attrs[3:4, :], attrs[4:5, :]
+    opt = attrs[5:6, :]
+    coeff = _splat_coeffs(xm, ym, ca, cb, cc)             # [6, CH]
     power = _dot(mono_t, coeff)                           # [P, CH]
     g = jnp.exp(jnp.minimum(power, 0.0))
-    alpha_un = opt * g                                    # [1,CH]·[P,CH]
+    alpha_un = opt * g
     alpha = jnp.minimum(ALPHA_MAX, alpha_un)
     active = (power <= 0.0) & (alpha >= ALPHA_MIN) & (livet > 0.5)
     a = jnp.where(active, alpha, 0.0)
@@ -121,36 +132,36 @@ def _chunk_state(xyt, conict, opt, livet, mono_t, log_t_raw, fail_any,
     w = jnp.where(contrib, a * t_before, 0.0)
     new_log_t_raw = log_t_raw + csum[:, -1:]
     new_fail_any = jnp.maximum(fail_any, jnp.max(fail_f, axis=1, keepdims=True))
-    return dict(g=g, alpha_un=alpha_un, a=a, active=active, log1m=log1m,
-                t_before=t_before, contrib=contrib, w=w,
-                new_log_t_raw=new_log_t_raw, new_fail_any=new_fail_any)
+    return dict(xm=xm, ym=ym, ca=ca, cb=cb, cc=cc, g=g, alpha_un=alpha_un,
+                a=a, active=active, log1m=log1m, t_before=t_before,
+                contrib=contrib, w=w, new_log_t_raw=new_log_t_raw,
+                new_fail_any=new_fail_any)
 
 
-def _fwd_kernel(count_ref, xyt_ref, conict_ref, opt_ref, rgbt_ref, langt_ref,
-                livet_ref, color_ref, lang_ref, logtf_ref,
-                *, tile, ch, n_chunks, n_color, n_feat):
+def _fwd_kernel(count_ref, origin_ref, attrs_ref, livet_ref,
+                color_ref, lang_ref, logtf_ref,
+                *, tile, ch, n_chunks, n_feat):
     p = tile * tile
     mono_t = _pixel_monomials_t(tile)
     u_incl = _tri_upper(ch, strict=False)
     u_strict = _tri_upper(ch, strict=True)
-    count = count_ref[pl.program_id(0), 0]
+    t_idx = pl.program_id(0)
+    count = count_ref[t_idx, 0]
+    ox = origin_ref[t_idx, 0]
+    oy = origin_ref[t_idx, 1]
 
     def body(c, carry):
-        # EARLY EXIT (the analog of renderCUDA's done/__syncthreads_count
-        # break, forward.cu:277-285): skip chunks past the tile's splat count
-        # or once every pixel has latched T<eps. Skipped chunks are exact
-        # no-ops (live=0 ⇒ a=0), so this never changes the result.
         log_t_raw, log_t_final, fail_any, color_acc, lang_acc = carry
         all_latched = jnp.min(fail_any) > 0.5
 
         def run(carry):
             log_t_raw, log_t_final, fail_any, color_acc, lang_acc = carry
             sl = pl.ds(c * ch, ch)
-            s = _chunk_state(xyt_ref[:, sl], conict_ref[:, sl], opt_ref[:, sl],
-                             livet_ref[:, sl], mono_t, log_t_raw, fail_any,
-                             u_incl, u_strict)
-            color_acc = color_acc + _dot_nt(rgbt_ref[:, sl], s["w"])   # [3, P]
-            lang_acc = lang_acc + _dot_nt(langt_ref[:, sl], s["w"])    # [F, P]
+            attrs = attrs_ref[:, sl]                       # [C, CH]
+            s = _chunk_state(attrs, livet_ref[:, sl], ox, oy, mono_t,
+                             log_t_raw, fail_any, u_incl, u_strict)
+            color_acc = color_acc + _dot_nt(attrs[RGB, :], s["w"])   # [3, P]
+            lang_acc = lang_acc + _dot_nt(attrs[FEAT0:, :], s["w"])  # [F, P]
             log_t_final = log_t_final + jnp.sum(
                 jnp.where(s["contrib"], s["log1m"], 0.0), axis=1, keepdims=True)
             return (s["new_log_t_raw"], log_t_final, s["new_fail_any"],
@@ -161,7 +172,7 @@ def _fwd_kernel(count_ref, xyt_ref, conict_ref, opt_ref, rgbt_ref, langt_ref,
 
     init = (jnp.zeros((p, 1), jnp.float32), jnp.zeros((p, 1), jnp.float32),
             jnp.zeros((p, 1), jnp.float32),
-            jnp.zeros((n_color, p), jnp.float32),
+            jnp.zeros((3, p), jnp.float32),
             jnp.zeros((n_feat, p), jnp.float32))
     _, log_t_final, _, color_acc, lang_acc = jax.lax.fori_loop(
         0, n_chunks, body, init)
@@ -170,36 +181,32 @@ def _fwd_kernel(count_ref, xyt_ref, conict_ref, opt_ref, rgbt_ref, langt_ref,
     logtf_ref[:, :] = jnp.transpose(log_t_final)           # [1, P]
 
 
-def _bwd_kernel(count_ref, xyt_ref, conict_ref, opt_ref, rgbt_ref, langt_ref,
-                livet_ref, gcolor_ref, glang_ref, glogtf_ref,
-                dxyt_ref, dconict_ref, dopt_ref, drgbt_ref, dlangt_ref,
-                *, tile, ch, n_chunks, n_color, n_feat):
+def _bwd_kernel(count_ref, origin_ref, attrs_ref, livet_ref,
+                gcolor_ref, glang_ref, glogtf_ref, dattrs_ref,
+                *, tile, ch, n_chunks, n_feat):
     p = tile * tile
     mono_t = _pixel_monomials_t(tile)
     u_incl = _tri_upper(ch, strict=False)
     u_strict = _tri_upper(ch, strict=True)
-    count = count_ref[pl.program_id(0), 0]
-    # grad outputs are written only for chunks the guarded loops visit — zero
-    # the rest up front (skipped chunks have zero grads by construction)
-    dxyt_ref[:, :] = jnp.zeros_like(dxyt_ref)
-    dconict_ref[:, :] = jnp.zeros_like(dconict_ref)
-    dopt_ref[:, :] = jnp.zeros_like(dopt_ref)
-    drgbt_ref[:, :] = jnp.zeros_like(drgbt_ref)
-    dlangt_ref[:, :] = jnp.zeros_like(dlangt_ref)
+    t_idx = pl.program_id(0)
+    count = count_ref[t_idx, 0]
+    ox = origin_ref[t_idx, 0]
+    oy = origin_ref[t_idx, 1]
     gcolor = gcolor_ref[:, :]                              # [3, P]
     glang = glang_ref[:, :]                                # [F, P]
     glogtf = jnp.transpose(glogtf_ref[:, :])               # [P, 1]
+    dattrs_ref[:, :] = jnp.zeros_like(dattrs_ref)
 
     # ---- pass 1 (forward replay): total Σ w·g per pixel
     def pass1(c, carry):
         def run(carry):
             log_t_raw, fail_any, total_wg = carry
             sl = pl.ds(c * ch, ch)
-            s = _chunk_state(xyt_ref[:, sl], conict_ref[:, sl], opt_ref[:, sl],
-                             livet_ref[:, sl], mono_t, log_t_raw, fail_any,
-                             u_incl, u_strict)
-            gsplat = _dot_tn(gcolor, rgbt_ref[:, sl]) \
-                + _dot_tn(glang, langt_ref[:, sl])         # [P, CH]
+            attrs = attrs_ref[:, sl]
+            s = _chunk_state(attrs, livet_ref[:, sl], ox, oy, mono_t,
+                             log_t_raw, fail_any, u_incl, u_strict)
+            gsplat = _dot_tn(gcolor, attrs[RGB, :]) \
+                + _dot_tn(glang, attrs[FEAT0:, :])         # [P, CH]
             total_wg = total_wg + jnp.sum(s["w"] * gsplat, axis=1,
                                           keepdims=True)
             return (s["new_log_t_raw"], s["new_fail_any"], total_wg)
@@ -216,12 +223,11 @@ def _bwd_kernel(count_ref, xyt_ref, conict_ref, opt_ref, rgbt_ref, langt_ref,
     def pass2(c, carry):
         log_t_raw, fail_any, prefix_wg = carry
         sl = pl.ds(c * ch, ch)
-        xyt = xyt_ref[:, sl]
-        conict = conict_ref[:, sl]
-        s = _chunk_state(xyt, conict, opt_ref[:, sl], livet_ref[:, sl],
-                         mono_t, log_t_raw, fail_any, u_incl, u_strict)
-        gsplat = _dot_tn(gcolor, rgbt_ref[:, sl]) \
-            + _dot_tn(glang, langt_ref[:, sl])             # [P, CH]
+        attrs = attrs_ref[:, sl]
+        s = _chunk_state(attrs, livet_ref[:, sl], ox, oy, mono_t,
+                         log_t_raw, fail_any, u_incl, u_strict)
+        gsplat = _dot_tn(gcolor, attrs[RGB, :]) \
+            + _dot_tn(glang, attrs[FEAT0:, :])             # [P, CH]
         wg = s["w"] * gsplat
         incl_here = _dot(wg, u_incl) + prefix_wg           # global inclusive
         suffix = total_wg - incl_here                      # S_i [P, CH]
@@ -234,11 +240,11 @@ def _bwd_kernel(count_ref, xyt_ref, conict_ref, opt_ref, rgbt_ref, langt_ref,
         open_gate = s["active"] & (s["alpha_un"] < ALPHA_MAX)
         da_open = jnp.where(open_gate, da, 0.0)
         dpower = da_open * s["alpha_un"]                   # dα/dpower = op·g
-        dopt_ref[:, sl] = jnp.sum(da_open * s["g"], axis=0, keepdims=True)
+        dop = jnp.sum(da_open * s["g"], axis=0, keepdims=True)   # [1, CH]
 
         dcoeff = _dot_tn(mono_t, dpower)                   # [6, CH]
-        xm, ym = xyt[0:1, :], xyt[1:2, :]
-        ca, cb, cc = conict[0:1, :], conict[1:2, :], conict[2:3, :]
+        xm, ym = s["xm"], s["ym"]
+        ca, cb, cc = s["ca"], s["cb"], s["cc"]
         d1, dpx, dpy = dcoeff[0:1, :], dcoeff[1:2, :], dcoeff[2:3, :]
         dpx2, dpxpy, dpy2 = dcoeff[3:4, :], dcoeff[4:5, :], dcoeff[5:6, :]
         dxm = d1 * (-ca * xm - cb * ym) + dpx * ca + dpy * cb
@@ -246,11 +252,11 @@ def _bwd_kernel(count_ref, xyt_ref, conict_ref, opt_ref, rgbt_ref, langt_ref,
         dca = d1 * (-0.5 * xm * xm) + dpx * xm - 0.5 * dpx2
         dcb = d1 * (-xm * ym) + dpx * ym + dpy * xm - dpxpy
         dcc = d1 * (-0.5 * ym * ym) + dpy * ym - 0.5 * dpy2
-        dxyt_ref[:, sl] = jnp.concatenate([dxm, dym], axis=0)
-        dconict_ref[:, sl] = jnp.concatenate([dca, dcb, dcc], axis=0)
 
-        drgbt_ref[:, sl] = _dot_nt(gcolor, jnp.transpose(s["w"]))  # [3, CH]
-        dlangt_ref[:, sl] = _dot_nt(glang, jnp.transpose(s["w"]))
+        drgb = _dot_nt(gcolor, jnp.transpose(s["w"]))      # [3, CH]
+        dfeat = _dot_nt(glang, jnp.transpose(s["w"]))      # [F, CH]
+        dattrs_ref[:, sl] = jnp.concatenate(
+            [dxm, dym, dca, dcb, dcc, dop, drgb, dfeat], axis=0)
 
         prefix_wg = prefix_wg + jnp.sum(wg, axis=1, keepdims=True)
         return (s["new_log_t_raw"], s["new_fail_any"], prefix_wg)
@@ -265,33 +271,38 @@ def _bwd_kernel(count_ref, xyt_ref, conict_ref, opt_ref, rgbt_ref, langt_ref,
     jax.lax.fori_loop(0, n_chunks, pass2_guarded, init2)
 
 
-def _specs(k, n_color, n_feat):
-    def bs(shape):
+def _specs(c_rows, k):
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    def bs_mid(a, b):
+        """Block over the middle (tile) axis: [A, T, B] → per-tile [A, B]."""
+        return pl.BlockSpec((a, None, b), lambda t: (0, t, 0),
+                            memory_space=pltpu.VMEM)
+
+    def bs_lead(shape):
+        """Block over the leading (tile) axis: [T, ...] → per-tile [...]."""
         return pl.BlockSpec((None,) + shape,
                             lambda t: (t,) + (0,) * len(shape),
                             memory_space=pltpu.VMEM)
-    # whole counts array in SMEM (Mosaic disallows tiny blocked SMEM slices);
-    # kernels index their tile via pl.program_id(0)
-    counts = pl.BlockSpec(memory_space=pltpu.SMEM)
-    ins = [counts,
-           bs((2, k)), bs((3, k)), bs((1, k)),              # xyt conict opt
-           bs((n_color, k)), bs((n_feat, k)), bs((1, k))]   # rgbt langt livet
-    return ins, bs
+
+    ins = [smem, smem,                       # counts [T,1], origins [T,2]
+           bs_mid(c_rows, k),                # attrs [C, T, K] → [C, K]
+           bs_lead((1, k))]                  # livet [T, 1, K] → [1, K]
+    return ins, bs_mid, bs_lead
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
-def blend_tiles_pallas(counts, xyt, conict, opt, rgbt, langt, livet, cfg):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def blend_tiles_pallas(counts, origins, attrs, livet, n_feat, cfg):
     """Differentiable per-tile blend.
 
-    Args: counts [T, 1] int32 per-tile splat counts (early-exit bound;
-      NON-differentiable leading arg), then fp32 with the splat axis LAST:
-      xyt [T,2,K] TILE-LOCAL centers, conict [T,3,K], opt [T,1,K],
-      rgbt [T,3,K], langt [T,F,K], livet [T,1,K];
-      cfg: static (tile, chunk, interpret).
+    Args: counts [T,1] int32 (early-exit bound), origins [T,2] f32 tile pixel
+      origins, attrs [C,T,K] f32 packed per-splat attributes (rows: xy 2,
+      conic 3, opacity 1, rgb 3, features n_feat), livet [T,1,K] f32 0/1;
+      n_feat: static feature row count; cfg: static (tile, chunk, interpret).
     Returns (color [T,3,P], lang [T,F,P], log_t_final [T,1,P]); the caller
     applies exp() and the background composite.
     """
-    out, _ = _blend_fwd(counts, xyt, conict, opt, rgbt, langt, livet, cfg)
+    out, _ = _blend_fwd(counts, origins, attrs, livet, n_feat, cfg)
     return out
 
 
@@ -303,58 +314,76 @@ def _check_cfg(k, cfg):
             f"on TPU the chunk ({chunk}) must be lane-aligned (multiple of 128)")
 
 
-def _blend_fwd(counts, xyt, conict, opt, rgbt, langt, livet, cfg):
+def _blend_fwd(counts, origins, attrs, livet, n_feat, cfg):
     tile, chunk, interpret = cfg
-    t, _, k = xyt.shape
-    n_color, n_feat = rgbt.shape[1], langt.shape[1]
+    c_rows, t, k = attrs.shape
+    assert c_rows == FEAT0 + n_feat, (c_rows, n_feat)
     p = tile * tile
     _check_cfg(k, cfg)
-    ins, bs = _specs(k, n_color, n_feat)
+    ins, bs_mid, bs_lead = _specs(c_rows, k)
     kernel = functools.partial(
-        _fwd_kernel, tile=tile, ch=chunk, n_chunks=k // chunk,
-        n_color=n_color, n_feat=n_feat)
+        _fwd_kernel, tile=tile, ch=chunk, n_chunks=k // chunk, n_feat=n_feat)
     out = pl.pallas_call(
         kernel,
         grid=(t,),
         in_specs=ins,
-        out_specs=[bs((n_color, p)), bs((n_feat, p)), bs((1, p))],
-        out_shape=[jax.ShapeDtypeStruct((t, n_color, p), jnp.float32),
+        out_specs=[bs_lead((3, p)), bs_lead((n_feat, p)), bs_lead((1, p))],
+        out_shape=[jax.ShapeDtypeStruct((t, 3, p), jnp.float32),
                    jax.ShapeDtypeStruct((t, n_feat, p), jnp.float32),
                    jax.ShapeDtypeStruct((t, 1, p), jnp.float32)],
         interpret=interpret,
-    )(counts, xyt, conict, opt, rgbt, langt, livet)
-    return tuple(out), (counts, xyt, conict, opt, rgbt, langt, livet)
+    )(counts, origins, attrs, livet)
+    return tuple(out), (counts, origins, attrs, livet)
 
 
-def _blend_bwd(cfg, residuals, grads):
-    counts, xyt, conict, opt, rgbt, langt, livet = residuals
+def _blend_bwd(n_feat, cfg, residuals, grads):
+    counts, origins, attrs, livet = residuals
     gcolor, glang, glogtf = grads
     tile, chunk, interpret = cfg
-    t, _, k = xyt.shape
-    n_color, n_feat = rgbt.shape[1], langt.shape[1]
+    c_rows, t, k = attrs.shape
     p = tile * tile
-    ins, bs = _specs(k, n_color, n_feat)
-    ins = ins + [bs((n_color, p)), bs((n_feat, p)), bs((1, p))]
+    ins, bs_mid, bs_lead = _specs(c_rows, k)
+    ins = ins + [bs_lead((3, p)), bs_lead((n_feat, p)), bs_lead((1, p))]
     kernel = functools.partial(
-        _bwd_kernel, tile=tile, ch=chunk, n_chunks=k // chunk,
-        n_color=n_color, n_feat=n_feat)
-    dxyt, dconict, dopt, drgbt, dlangt = pl.pallas_call(
+        _bwd_kernel, tile=tile, ch=chunk, n_chunks=k // chunk, n_feat=n_feat)
+    dattrs = pl.pallas_call(
         kernel,
         grid=(t,),
         in_specs=ins,
-        out_specs=[bs((2, k)), bs((3, k)), bs((1, k)),
-                   bs((n_color, k)), bs((n_feat, k))],
-        out_shape=[jax.ShapeDtypeStruct((t, 2, k), jnp.float32),
-                   jax.ShapeDtypeStruct((t, 3, k), jnp.float32),
-                   jax.ShapeDtypeStruct((t, 1, k), jnp.float32),
-                   jax.ShapeDtypeStruct((t, n_color, k), jnp.float32),
-                   jax.ShapeDtypeStruct((t, n_feat, k), jnp.float32)],
+        out_specs=bs_mid(c_rows, k),
+        out_shape=jax.ShapeDtypeStruct((c_rows, t, k), jnp.float32),
         interpret=interpret,
-    )(counts, xyt, conict, opt, rgbt, langt, livet, gcolor, glang, glogtf)
-    import numpy as _np
-    dcounts = _np.zeros(counts.shape, dtype=jax.dtypes.float0)  # int arg
-    return (dcounts, dxyt, dconict, dopt, drgbt, dlangt,
-            jnp.zeros_like(livet))
+    )(counts, origins, attrs, livet, gcolor, glang, glogtf)
+    dcounts = np.zeros(counts.shape, dtype=jax.dtypes.float0)
+    return (dcounts, jnp.zeros_like(origins), dattrs, jnp.zeros_like(livet))
 
 
 blend_tiles_pallas.defvjp(_blend_fwd, _blend_bwd)
+
+
+# --------------------------------------------------------------- fast gather
+@jax.custom_vjp
+def gather_splats(table, gidx):
+    """table [C, N] → [C, T, K] via gidx [T, K].
+
+    One fused gather for all packed attributes; the custom backward uses the
+    direct scatter-add formulation (`zeros.at[:, gidx].add`), which measures
+    ~7× faster than the scatter XLA autodiff emits for jnp.take.
+    """
+    return jnp.take(table, gidx, axis=1)
+
+
+def _gather_fwd(table, gidx):
+    # `table` rides in the residuals only for its shape/dtype (XLA keeps it
+    # alive for other consumers anyway — no extra memory)
+    return jnp.take(table, gidx, axis=1), (table, gidx)
+
+
+def _gather_bwd(res, g):
+    table, gidx = res
+    dtable = jnp.zeros_like(table).at[:, gidx].add(g)
+    dgidx = np.zeros(gidx.shape, dtype=jax.dtypes.float0)
+    return dtable, dgidx
+
+
+gather_splats.defvjp(_gather_fwd, _gather_bwd)

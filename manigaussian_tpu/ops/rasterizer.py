@@ -226,7 +226,8 @@ def _blend_tiles_pallas_path(pre: gm.ProjectedGaussians, lang: jnp.ndarray,
     deterministic segment-sum accumulation replacing CUDA's atomicAdd); only
     the pixel-blend recurrence runs in the hand-written kernel.
     """
-    from manigaussian_tpu.ops.pallas_blend import blend_tiles_pallas
+    from manigaussian_tpu.ops.pallas_blend import (blend_tiles_pallas,
+                                                   gather_splats)
 
     tiles_x = (cfg.width + cfg.tile - 1) // cfg.tile
     num_tiles, k_cap = gidx.shape
@@ -235,13 +236,18 @@ def _blend_tiles_pallas_path(pre: gm.ProjectedGaussians, lang: jnp.ndarray,
                          (t_ids // tiles_x) * cfg.tile],
                         axis=-1).astype(jnp.float32)
 
-    # TILE-LOCAL splat centers (fp32 accuracy of the kernel's quadratic form);
-    # splat axis LAST — Mosaic needs the dynamically-chunked axis lane-aligned.
-    xyt = jnp.swapaxes(pre.means2d[gidx] - origins[:, None, :], 1, 2)  # [T,2,K]
-    conict = jnp.swapaxes(pre.conic[gidx], 1, 2)            # [T, 3, K]
-    opt = pre.opacity[gidx][:, None, :]                     # [T, 1, K]
-    rgbt = jnp.swapaxes(pre.rgb[gidx], 1, 2)                # [T, 3, K]
-    langt = jnp.swapaxes(lang[gidx], 1, 2)                  # [T, F, K]
+    # Pack every per-splat attribute channel-first [C, N] and gather ONCE into
+    # [C, T, K] (pallas_blend layout notes). The kernel forms tile-local
+    # coordinates itself from `origins`.
+    n_feat = lang.shape[-1]
+    table = jnp.concatenate([
+        pre.means2d.T,                       # rows 0:2
+        pre.conic.T,                         # rows 2:5
+        pre.opacity[None, :],                # row 5
+        pre.rgb.T,                           # rows 6:9
+        lang.T,                              # rows 9:9+F
+    ], axis=0)                               # [9+F, N]
+    attrs = gather_splats(table, gidx)       # [C, T, K]
     livet = in_list.astype(jnp.float32)[:, None, :]         # [T, 1, K]
 
     # per-tile live-splat counts bound the kernel's chunk loop (early exit)
@@ -249,7 +255,7 @@ def _blend_tiles_pallas_path(pre: gm.ProjectedGaussians, lang: jnp.ndarray,
 
     interpret = jax.default_backend() != "tpu"
     color_t, lang_t, logtf = blend_tiles_pallas(
-        counts, xyt, conict, opt, rgbt, langt, livet,
+        counts, origins, attrs, livet, n_feat,
         (cfg.tile, min(cfg.chunk, k_cap), interpret))
 
     final_t = jnp.exp(logtf[:, 0, :])                       # [T, P]
