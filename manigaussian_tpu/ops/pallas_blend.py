@@ -286,7 +286,7 @@ def _specs(c_rows, k):
                             memory_space=pltpu.VMEM)
 
     ins = [smem, smem,                       # counts [T,1], origins [T,2]
-           bs_mid(c_rows, k),                # attrs [C, T, K] → [C, K]
+           bs_lead((c_rows, k)),             # attrs [T, C, K] → [C, K]
            bs_lead((1, k))]                  # livet [T, 1, K] → [1, K]
     return ins, bs_mid, bs_lead
 
@@ -296,7 +296,7 @@ def blend_tiles_pallas(counts, origins, attrs, livet, n_feat, cfg):
     """Differentiable per-tile blend.
 
     Args: counts [T,1] int32 (early-exit bound), origins [T,2] f32 tile pixel
-      origins, attrs [C,T,K] f32 packed per-splat attributes (rows: xy 2,
+      origins, attrs [T,C,K] f32 packed per-splat attributes (rows: xy 2,
       conic 3, opacity 1, rgb 3, features n_feat), livet [T,1,K] f32 0/1;
       n_feat: static feature row count; cfg: static (tile, chunk, interpret).
     Returns (color [T,3,P], lang [T,F,P], log_t_final [T,1,P]); the caller
@@ -316,7 +316,7 @@ def _check_cfg(k, cfg):
 
 def _blend_fwd(counts, origins, attrs, livet, n_feat, cfg):
     tile, chunk, interpret = cfg
-    c_rows, t, k = attrs.shape
+    t, c_rows, k = attrs.shape
     assert c_rows == FEAT0 + n_feat, (c_rows, n_feat)
     p = tile * tile
     _check_cfg(k, cfg)
@@ -340,7 +340,7 @@ def _blend_bwd(n_feat, cfg, residuals, grads):
     counts, origins, attrs, livet = residuals
     gcolor, glang, glogtf = grads
     tile, chunk, interpret = cfg
-    c_rows, t, k = attrs.shape
+    t, c_rows, k = attrs.shape
     p = tile * tile
     ins, bs_mid, bs_lead = _specs(c_rows, k)
     ins = ins + [bs_lead((3, p)), bs_lead((n_feat, p)), bs_lead((1, p))]
@@ -350,8 +350,8 @@ def _blend_bwd(n_feat, cfg, residuals, grads):
         kernel,
         grid=(t,),
         in_specs=ins,
-        out_specs=bs_mid(c_rows, k),
-        out_shape=jax.ShapeDtypeStruct((c_rows, t, k), jnp.float32),
+        out_specs=bs_lead((c_rows, k)),
+        out_shape=jax.ShapeDtypeStruct((t, c_rows, k), jnp.float32),
         interpret=interpret,
     )(counts, origins, attrs, livet, gcolor, glang, glogtf)
     dcounts = np.zeros(counts.shape, dtype=jax.dtypes.float0)

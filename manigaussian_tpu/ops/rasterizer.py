@@ -247,7 +247,9 @@ def _blend_tiles_pallas_path(pre: gm.ProjectedGaussians, lang: jnp.ndarray,
         pre.rgb.T,                           # rows 6:9
         lang.T,                              # rows 9:9+F
     ], axis=0)                               # [9+F, N]
-    attrs = gather_splats(table, gidx)       # [C, T, K]
+    # [C,T,K] → [T,C,K]: a MAJOR-axis swap (lane dim stays minor — cheap),
+    # required because Pallas squeezes only leading block axes
+    attrs = jnp.swapaxes(gather_splats(table, gidx), 0, 1)
     livet = in_list.astype(jnp.float32)[:, None, :]         # [T, 1, K]
 
     # per-tile live-splat counts bound the kernel's chunk loop (early exit)
