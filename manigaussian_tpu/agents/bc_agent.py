@@ -84,8 +84,11 @@ class ManiGaussianBCAgent:
 
     # ---------------------------------------------------------------- build
     def init_state(self, key: jax.Array, example_batch: Dict[str, jnp.ndarray],
-                   training: bool = True) -> TrainState:
-        params = self.qfn.init(
+                   training: bool = True, lazy: bool = False) -> TrainState:
+        # lazy=True: flax lazy_init — parameters without executing the forward
+        # (no renderer/conv compute at init; exact same param values)
+        init_fn = self.qfn.lazy_init if lazy else self.qfn.init
+        params = init_fn(
             {"params": key, "dropout": key},
             example_batch["rgb"], example_batch["pcd"],
             example_batch["low_dim_state"], example_batch["lang_goal_emb"],

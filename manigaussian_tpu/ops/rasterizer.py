@@ -255,7 +255,13 @@ def _blend_tiles_pallas_path(pre: gm.ProjectedGaussians, lang: jnp.ndarray,
     # per-tile live-splat counts bound the kernel's chunk loop (early exit)
     counts = jnp.sum(in_list, axis=1, dtype=jnp.int32)[:, None]  # [T, 1]
 
-    interpret = jax.default_backend() != "tpu"
+    # Mosaic compile only on real TPU; interpret elsewhere — including when a
+    # jax.default_device(cpu) override routes this trace to CPU.
+    default_dev = jax.config.jax_default_device
+    if default_dev is not None:
+        interpret = getattr(default_dev, "platform", str(default_dev)) != "tpu"
+    else:
+        interpret = jax.default_backend() != "tpu"
     color_t, lang_t, logtf = blend_tiles_pallas(
         counts, origins, attrs, livet, n_feat,
         (cfg.tile, min(cfg.chunk, k_cap), interpret))

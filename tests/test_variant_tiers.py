@@ -1,0 +1,51 @@
+"""One BC train step for each of the four launch tiers (w_geo → w_geo_sem_dyna),
+verifying the tier-specific losses activate exactly as in the reference."""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from manigaussian_tpu.agents.bc_agent import ManiGaussianBCAgent
+from manigaussian_tpu.models.foundation import (StubFeatureExtractor,
+                                                extract_gt_embed)
+from tests.test_agent import make_batch, tiny_config
+
+
+def _tier_config(use_dynamic_field, foundation):
+    cfg = tiny_config(use_dynamic_field=use_dynamic_field)
+    nr = dataclasses.replace(cfg.method.neural_renderer,
+                             foundation_model_name=foundation)
+    return dataclasses.replace(
+        cfg, method=dataclasses.replace(cfg.method, neural_renderer=nr))
+
+
+@pytest.mark.parametrize("tier,dyna,foundation", [
+    ("w_geo", False, None),
+    ("w_geo_dyna", True, None),
+    ("w_geo_sem", False, "diffusion"),
+    ("w_geo_sem_dyna", True, "diffusion"),
+])
+def test_tier_train_step(tier, dyna, foundation):
+    cfg = _tier_config(dyna, foundation)
+    agent = ManiGaussianBCAgent(cfg)
+    batch = make_batch(jax.random.PRNGKey(0))
+    if foundation:
+        ex = StubFeatureExtractor(out_channels=8)
+        batch["gt_embed"] = extract_gt_embed(batch["nerf_target_rgb"], ex, 3)
+    state = agent.init_state(jax.random.PRNGKey(1), batch, training=True)
+    # step past warm_up so the dyna loss is live
+    state = state._replace(step=state.step + 100)
+    _, metrics = agent.update(state, batch, jax.random.PRNGKey(2))
+
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert float(metrics["rgb_loss"]) > 0
+    if foundation:
+        assert float(metrics["embed_loss"]) != 0.0
+    else:
+        assert float(metrics["embed_loss"]) == 0.0
+    if dyna:
+        assert float(metrics["dyna_loss"]) > 0
+    else:
+        assert float(metrics["dyna_loss"]) == 0.0
