@@ -35,10 +35,16 @@ def run(n=65536, size=128, iters=20):
     n_devices = len(jax.devices())
     rays = size * size
 
+    tiles_x = size // 16
+    num_tiles = tiles_x * tiles_x
     results = []
     base = None
     d = 1
     while d <= n_devices:
+        # tile rows must not straddle devices (rasterizer_sharded constraint)
+        if d > 1 and (num_tiles % d != 0 or (num_tiles // d) % tiles_x != 0):
+            d *= 2
+            continue
         if d == 1:
             def loss(m):
                 out, _ = rasterize(m, opacities, camera, cfg, (0., 0., 0.),
