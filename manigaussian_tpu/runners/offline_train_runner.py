@@ -63,8 +63,12 @@ class OfflineTrainRunner:
         first_batch = next(self.batches)
         dev_batch = _to_device_batch(first_batch, self.mesh)
         if state is None:
+            # lazy: materialize parameters without executing the forward graph
+            # (identical values for our Dense/Conv-only modules, minutes faster
+            # on tunneled-TPU environments)
             state = self.agent.init_state(
-                jax.random.PRNGKey(self.seed), dev_batch, training=True)
+                jax.random.PRNGKey(self.seed), dev_batch, training=True,
+                lazy=True)
 
         # auto-resume (offline_train_runner.py:166-180)
         start_iter = 0
