@@ -50,17 +50,22 @@ class ActResult(NamedTuple):
 
 
 def make_optimizer(cfg: ManiGaussianConfig) -> optax.GradientTransformation:
+    from manigaussian_tpu.utils.optimizers import make_lamb
+
     m = cfg.method
-    lr = m.lr
+    sched = None
     if m.lr_scheduler:
         # cosine-with-warmup analog of transformers.get_cosine_..._with_warmup
         # (qattention:499-505)
-        lr = optax.warmup_cosine_decay_schedule(
+        sched = optax.warmup_cosine_decay_schedule(
             0.0, m.lr, m.num_warmup_steps, cfg.framework.training_iterations)
     if m.optimizer == "lamb":
-        return optax.lamb(lr, b1=0.9, b2=0.999, weight_decay=m.lambda_weight_l2)
+        # reference-exact LAMB (weight-norm clamp, no bias correction) —
+        # optax.lamb's unclamped trust ratio destabilizes batch-1 training
+        return make_lamb(m.lr, weight_decay=m.lambda_weight_l2,
+                         schedule=sched)
     if m.optimizer == "adam":
-        return optax.adamw(lr, weight_decay=m.lambda_weight_l2)
+        return optax.adamw(sched or m.lr, weight_decay=m.lambda_weight_l2)
     raise ValueError(f"unknown optimizer {m.optimizer}")
 
 
