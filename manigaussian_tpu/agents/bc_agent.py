@@ -62,11 +62,14 @@ def make_optimizer(cfg: ManiGaussianConfig) -> optax.GradientTransformation:
     if m.optimizer == "lamb":
         # reference-exact LAMB (weight-norm clamp, no bias correction) —
         # optax.lamb's unclamped trust ratio destabilizes batch-1 training
-        return make_lamb(m.lr, weight_decay=m.lambda_weight_l2,
-                         schedule=sched)
-    if m.optimizer == "adam":
-        return optax.adamw(sched or m.lr, weight_decay=m.lambda_weight_l2)
-    raise ValueError(f"unknown optimizer {m.optimizer}")
+        opt = make_lamb(m.lr, weight_decay=m.lambda_weight_l2, schedule=sched)
+    elif m.optimizer == "adam":
+        opt = optax.adamw(sched or m.lr, weight_decay=m.lambda_weight_l2)
+    else:
+        raise ValueError(f"unknown optimizer {m.optimizer}")
+    if m.grad_clip_norm > 0:
+        opt = optax.chain(optax.clip_by_global_norm(m.grad_clip_norm), opt)
+    return opt
 
 
 def normalize_rgb(rgb_01: jnp.ndarray) -> jnp.ndarray:

@@ -105,6 +105,9 @@ class MethodConfig:
     num_warmup_steps: int = 3000
     optimizer: str = "lamb"
     lambda_weight_l2: float = 1e-6
+    # 0 = off (reference parity). Set e.g. 5.0 to clip the global grad norm —
+    # batch-1 fp32 training can blow up the transformer stack (STATUS.md).
+    grad_clip_norm: float = 0.0
     trans_loss_weight: float = 1.0
     rot_loss_weight: float = 1.0
     grip_loss_weight: float = 1.0

@@ -52,9 +52,14 @@ def _render_batch(params: dict, cameras, cfg: RasterizeConfig, bg_color):
     """vmap the tile rasterizer over the batch of per-point gaussian params."""
 
     def one(xyz, sh, rot, scale, opacity, feat, camera):
-        # L2-normalize language features (gaussian_renderer/__init__.py:65-68)
+        # L2-normalize language features (gaussian_renderer/__init__.py:65-68).
+        # eps 1e-6 (not 1e-12): the normalize gradient scales as 1/eps for
+        # near-zero vectors — at 1e-12 a fresh regressor's ~0 embeddings emit
+        # ~1e12-scale gradients into the shared voxel features and destabilize
+        # the whole policy (torch F.normalize default eps is 1e-12 but the
+        # reference never trains from embeddings this small at fp32 batch 1).
         feat = feat / jnp.maximum(
-            jnp.linalg.norm(feat, axis=-1, keepdims=True), 1e-12)
+            jnp.linalg.norm(feat, axis=-1, keepdims=True), 1e-6)
         out, _extras = rasterize(
             means3d=xyz, opacities=opacity[..., 0], camera=camera, cfg=cfg,
             bg_color=bg_color, scales=scale, rotations=rot, shs=sh,
