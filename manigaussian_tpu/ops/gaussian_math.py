@@ -141,7 +141,11 @@ def eval_sh(sh: jnp.ndarray, deg: int, dirs: jnp.ndarray) -> tuple[jnp.ndarray, 
     dirs: [..., 3] (unnormalized; normalized here like the reference)
     Returns (rgb [..., 3], clamped_mask [..., 3]).
     """
-    dirn = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    # guard: a regressed gaussian can land arbitrarily close to the camera
+    # center; an unguarded normalize emits inf jacobians there (CUDA divides
+    # unguarded too, forward.cu:29 — degenerate only in that measure-zero case)
+    dirn = dirs / jnp.maximum(
+        jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8)
     x, y, z = dirn[..., 0:1], dirn[..., 1:2], dirn[..., 2:3]
 
     result = SH_C0 * sh[..., 0, :]

@@ -145,7 +145,25 @@ class NeuralRenderer(nn.Module):
             next_cameras = novel_camera_calib_batch(
                 next_gt_intrinsic, next_gt_pose, self.znear, self.zfar,
                 self.image_height, self.image_width)
-            next_render, _ = _render_batch(params["next"], next_cameras, cfg, bg)
+
+            def render_next(_):
+                img, _feat = _render_batch(params["next"], next_cameras, cfg,
+                                           bg)
+                return img
+
+            # Warm-up gate via lax.cond, NOT `0 × loss`: the reference computes
+            # the next-frame render every step and multiplies its loss by 0
+            # during warm-up (neural_rendering.py:323-329) — but a zero
+            # cotangent still traverses the branch's jacobian and any inf in it
+            # yields 0×inf = NaN that poisons shared parameters (STATUS.md).
+            # cond removes the branch (forward AND backward) until warm-up.
+            step_arr = jnp.asarray(step)
+            next_render = jax.lax.cond(
+                step_arr >= self.warm_up, render_next,
+                lambda _: jnp.zeros(
+                    (pcd.shape[0], self.image_height, self.image_width, 3),
+                    jnp.float32),
+                operand=None)
 
         zero = jnp.zeros(())
         if not training or gt_rgb is None:
