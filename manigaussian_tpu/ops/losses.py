@@ -24,13 +24,19 @@ def masked_l1_loss(pred: jnp.ndarray, gt: jnp.ndarray, mask: jnp.ndarray) -> jnp
     return jnp.mean(jnp.abs(pred - gt) * mask)
 
 
-def cosine_loss(pred: jnp.ndarray, gt: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+def cosine_loss(pred: jnp.ndarray, gt: jnp.ndarray, eps: float = 1e-4) -> jnp.ndarray:
     """1 - mean cosine similarity along the last axis (loss.py:17-22).
 
-    Matches torch.cosine_similarity semantics: each norm is floored at eps.
+    SMOOTH eps (‖x‖ → sqrt(‖x‖²+eps²)) instead of torch.cosine_similarity's
+    clamp at 1e-8: rendered embedding pixels are EXACTLY zero wherever nothing
+    splats (the feature channels get no background, forward.cu:388-394), and a
+    clamped norm there produces 1/eps ≈ 1e8-scale gradients per empty pixel —
+    enough to blow up fp32 batch-1 training on sparse scenes. The smooth form
+    bounds the gradient by ~1/eps = 1e4 (×λ_embed·λ_nerf = 1e-4 → O(1)) and
+    deviates from the clamped value by O(eps²) on non-degenerate pixels.
     """
-    pn = jnp.maximum(jnp.linalg.norm(pred, axis=-1), eps)
-    gn = jnp.maximum(jnp.linalg.norm(gt, axis=-1), eps)
+    pn = jnp.sqrt(jnp.sum(pred * pred, axis=-1) + eps * eps)
+    gn = jnp.sqrt(jnp.sum(gt * gt, axis=-1) + eps * eps)
     cos = jnp.sum(pred * gt, axis=-1) / (pn * gn)
     return 1.0 - jnp.mean(cos)
 
