@@ -84,9 +84,12 @@ class ManiGaussianBCAgent:
     holds only static config, so it is safe to use from any process.
     """
 
-    def __init__(self, cfg: ManiGaussianConfig):
+    def __init__(self, cfg: ManiGaussianConfig, tile_mesh=None):
+        """tile_mesh: optional jax.sharding.Mesh with a 'tile' axis — the
+        renderer shards image tiles over it inside the jitted train step
+        (train.py --mesh-tile)."""
         self.cfg = cfg
-        self.qfn = QFunction(cfg.method)
+        self.qfn = QFunction(cfg.method, tile_mesh=tile_mesh)
         self.opt = make_optimizer(cfg)
         self.bounds = jnp.asarray(cfg.rlbench.scene_bounds, jnp.float32)
 
@@ -186,7 +189,9 @@ class ManiGaussianBCAgent:
                 metrics.update(rgb_loss=q.render_losses.loss_rgb,
                                embed_loss=q.render_losses.loss_embed,
                                dyna_loss=q.render_losses.loss_dyna,
-                               psnr=q.render_losses.psnr)
+                               psnr=q.render_losses.psnr,
+                               overflow_splats=q.render_losses.overflow_splats,
+                               overflow_gaussians=q.render_losses.overflow_gaussians)
             metrics["total_loss"] = total
             return total, metrics
 

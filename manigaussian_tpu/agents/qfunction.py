@@ -55,6 +55,9 @@ def build_voxel_grid(pcd: jnp.ndarray, rgb: jnp.ndarray, bounds: jnp.ndarray,
 
 class QFunction(nn.Module):
     cfg: MethodConfig
+    # Optional jax.sharding.Mesh with a 'tile' axis: the renderer shards image
+    # tiles over it inside the train step (parallel/rasterizer_sharded.py).
+    tile_mesh: Optional[object] = None
 
     def _perceiver(self) -> PerceiverVoxelLangEncoder:
         m = self.cfg
@@ -97,7 +100,8 @@ class QFunction(nn.Module):
             lambda_rgb=r.lambda_rgb, lambda_dyna=r.lambda_dyna,
             warm_up=r.next_mlp.warm_up, d_latent=r.d_latent,
             tile=r.tile, max_tiles_per_gaussian=r.max_tiles_per_gaussian,
-            tile_capacity=r.tile_capacity, chunk=r.chunk,
+            tile_capacity=r.tile_capacity, chunk=r.chunk, backend=r.backend,
+            tile_mesh=self.tile_mesh,
             name="neural_renderer")
 
     @nn.compact

@@ -69,6 +69,7 @@ class NeuralRendererConfig:
     max_tiles_per_gaussian: int = 16
     tile_capacity: int = 2048
     chunk: int = 256
+    backend: str = "pallas"    # "pallas" (TPU kernel) | "xla" (lax.scan)
 
 
 @dataclass(frozen=True)
@@ -80,6 +81,10 @@ class MethodConfig:
     num_view_for_nerf: int = 20
     language_model: str = "CLIP"
     language_model_dim: int = 512
+    # local checkpoint for the language tower: an OpenAI CLIP .pt file routes
+    # through the reference-exact RN50 Flax text tower (models/clip_text.py);
+    # a directory routes through transformers. None -> hashed stub provider.
+    language_model_checkpoint: Optional[str] = None
     # voxelization
     image_crop_size: int = 64
     bounds_offset: Tuple[float, ...] = (0.15,)

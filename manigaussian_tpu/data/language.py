@@ -62,8 +62,64 @@ class HashedStubLanguageModel:
         return sent, toks
 
 
+class ClipRN50TextModel:
+    """The reference's EXACT text interface from an OpenAI CLIP checkpoint:
+    sentence = ln_final@EOT @ text_projection [1024], tokens = ln_final
+    outputs [77, 512] (helpers/clip/core/clip.py:479
+    encode_text_with_embeddings). Runs the Flax tower
+    (models/clip_text.ClipTextTransformer) with our from-scratch BPE
+    tokenizer; jitted once, frozen."""
+
+    def __init__(self, checkpoint_path: str, bpe_path: str | None = None):
+        import jax
+        from manigaussian_tpu.data.clip_tokenizer import ClipBPETokenizer
+        from manigaussian_tpu.models import clip_text as ct
+
+        self.tokenizer = ClipBPETokenizer(bpe_path)
+        if isinstance(checkpoint_path, str):
+            import torch
+            try:
+                sd = torch.jit.load(checkpoint_path,
+                                    map_location="cpu").state_dict()
+            except RuntimeError:
+                obj = torch.load(checkpoint_path, map_location="cpu")
+                sd = obj.state_dict() if hasattr(obj, "state_dict") else obj
+        else:
+            sd = checkpoint_path
+        dims = ct.model_dims_from_state_dict(sd)
+        self.model = ct.ClipTextTransformer(**dims)
+        self.variables = ct.load_openai_state_dict(sd)
+        self._apply = jax.jit(self.model.apply)
+
+    def encode(self, text: str):
+        toks = self.tokenizer.tokenize(
+            text, context_length=self.model.context_length)[None]
+        sent, embs = self._apply(self.variables, toks)
+        sent = np.asarray(sent[0], np.float32)
+        embs = np.asarray(embs[0], np.float32)
+        # real RN50 dims are exactly (1024, 77x512); tiny test checkpoints are
+        # zero-padded into the same slots
+        if sent.shape[0] < SENTENCE_DIM:
+            sent = np.concatenate(
+                [sent, np.zeros(SENTENCE_DIM - sent.shape[0], np.float32)])
+        if embs.shape[-1] < TOKEN_DIM:
+            embs = np.concatenate(
+                [embs, np.zeros((embs.shape[0], TOKEN_DIM - embs.shape[-1]),
+                                np.float32)], axis=-1)
+        if embs.shape[0] < MAX_TOKENS:
+            embs = np.concatenate(
+                [embs, np.zeros((MAX_TOKENS - embs.shape[0], embs.shape[-1]),
+                                np.float32)], axis=0)
+        return sent[:SENTENCE_DIM], embs[:MAX_TOKENS, :TOKEN_DIM]
+
+
 class ClipLanguageModel:
-    """CLIP text tower from a LOCAL checkpoint (transformers, no download)."""
+    """CLIP text tower from a LOCAL huggingface checkpoint DIR (transformers).
+
+    NOTE: this is the wrong architecture for strict reference parity (the
+    reference uses the RN50 tower's 1024-d joint space); prefer
+    ClipRN50TextModel with an OpenAI .pt checkpoint. Kept for environments
+    that only have HF-format CLIP."""
 
     def __init__(self, checkpoint_dir: str):
         from transformers import CLIPTextModelWithProjection, CLIPTokenizerFast
@@ -145,7 +201,11 @@ def create_language_model(name: str = "stub",
                           cache_dir: str | None = None) -> LanguageModel:
     """Factory (parity: helpers/language_model.py:15-33 create_language_model)."""
     if name in ("CLIP", "clip") and checkpoint_dir:
-        model: LanguageModel = ClipLanguageModel(checkpoint_dir)
+        if os.path.isfile(checkpoint_dir):
+            # OpenAI-format .pt → the reference-exact RN50 text tower
+            model: LanguageModel = ClipRN50TextModel(checkpoint_dir)
+        else:
+            model = ClipLanguageModel(checkpoint_dir)
     elif name in ("T5", "t5") and checkpoint_dir:
         model = T5LanguageModel(checkpoint_dir)
     else:

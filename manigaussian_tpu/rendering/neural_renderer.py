@@ -31,6 +31,7 @@ from manigaussian_tpu.models.gaussian_regressor import GeneralizableGSEmbedNet
 from manigaussian_tpu.ops import losses as L
 from manigaussian_tpu.ops.camera import novel_camera_calib_batch
 from manigaussian_tpu.ops.rasterizer import RasterizeConfig, rasterize
+from manigaussian_tpu.parallel.rasterizer_sharded import rasterize_sharded
 
 
 class RenderLosses(NamedTuple):
@@ -40,6 +41,13 @@ class RenderLosses(NamedTuple):
     loss_dyna: jnp.ndarray
     l1: jnp.ndarray
     psnr: jnp.ndarray
+    # capacity-truncation diagnostics (ops/rasterizer.py static-shape design):
+    # splats dropped by tile_capacity / rect slots dropped by R_cap, summed
+    # over the batch. Surfaced into train metrics so silent truncation is
+    # visible (VERDICT.md weak 5). Zero when the tile-sharded path (which
+    # does not report extras) renders.
+    overflow_splats: jnp.ndarray = 0
+    overflow_gaussians: jnp.ndarray = 0
 
 
 class RenderResult(NamedTuple):
@@ -48,8 +56,16 @@ class RenderResult(NamedTuple):
     render_embed: Optional[jnp.ndarray]    # [B, H, W, 3]
 
 
-def _render_batch(params: dict, cameras, cfg: RasterizeConfig, bg_color):
-    """vmap the tile rasterizer over the batch of per-point gaussian params."""
+def _render_batch(params: dict, cameras, cfg: RasterizeConfig, bg_color,
+                  tile_mesh=None, tile_axis: str = "tile"):
+    """vmap the tile rasterizer over the batch of per-point gaussian params.
+
+    With `tile_mesh` set, each sample renders through the tile-sharded
+    shard_map pipeline (parallel/rasterizer_sharded.py) — image tiles owned
+    per-device, blended locally, reassembled with all_gather; backward
+    transposes to psum (the train-step integration of SURVEY.md §5's
+    'long-context analog'). Returns ((color, lang), (overflow_s, overflow_g)).
+    """
 
     def one(xyz, sh, rot, scale, opacity, feat, camera):
         # L2-normalize language features (gaussian_renderer/__init__.py:65-68).
@@ -60,15 +76,24 @@ def _render_batch(params: dict, cameras, cfg: RasterizeConfig, bg_color):
         # reference never trains from embeddings this small at fp32 batch 1).
         feat = feat / jnp.maximum(
             jnp.linalg.norm(feat, axis=-1, keepdims=True), 1e-6)
-        out, _extras = rasterize(
+        if tile_mesh is not None:
+            out = rasterize_sharded(
+                tile_mesh, xyz, opacity[..., 0], camera, cfg, bg_color,
+                scales=scale, rotations=rot, shs=sh, language_features=feat,
+                axis=tile_axis)
+            zero = jnp.zeros((), jnp.int32)
+            return out.color, out.language_feature, zero, zero
+        out, extras = rasterize(
             means3d=xyz, opacities=opacity[..., 0], camera=camera, cfg=cfg,
             bg_color=bg_color, scales=scale, rotations=rot, shs=sh,
             language_features=feat)
-        return out.color, out.language_feature
+        return (out.color, out.language_feature,
+                extras.overflow_splats, extras.overflow_gaussians)
 
-    return jax.vmap(one)(params["xyz"], params["sh"], params["rot"],
-                         params["scale"], params["opacity"], params["feature"],
-                         cameras)
+    color, lang, ov_s, ov_g = jax.vmap(one)(
+        params["xyz"], params["sh"], params["rot"], params["scale"],
+        params["opacity"], params["feature"], cameras)
+    return (color, lang), (jnp.sum(ov_s), jnp.sum(ov_g))
 
 
 class NeuralRenderer(nn.Module):
@@ -90,12 +115,19 @@ class NeuralRenderer(nn.Module):
     max_tiles_per_gaussian: int = 16
     tile_capacity: int = 2048
     chunk: int = 256
+    backend: str = "pallas"
+    # Optional jax.sharding.Mesh with a `tile_axis` axis: renders through the
+    # tile-sharded shard_map pipeline inside the train step. Static module
+    # attribute (Mesh is hashable), set by QFunction from the agent config.
+    tile_mesh: Optional[object] = None
+    tile_axis: str = "tile"
 
     def _raster_cfg(self) -> RasterizeConfig:
         return RasterizeConfig(
             width=self.image_width, height=self.image_height, tile=self.tile,
             max_tiles_per_gaussian=self.max_tiles_per_gaussian,
-            tile_capacity=self.tile_capacity, chunk=self.chunk, sh_degree=1)
+            tile_capacity=self.tile_capacity, chunk=self.chunk, sh_degree=1,
+            backend=self.backend)
 
     def _embed_loss(self, render_embed, gt_embed):
         """neural_rendering.py:91-108."""
@@ -138,7 +170,9 @@ class NeuralRenderer(nn.Module):
             gt_intrinsic, gt_pose, self.znear, self.zfar,
             self.image_height, self.image_width)
 
-        render_novel, render_embed = _render_batch(params, cameras, cfg, bg)
+        (render_novel, render_embed), (ov_s, ov_g) = _render_batch(
+            params, cameras, cfg, bg, tile_mesh=self.tile_mesh,
+            tile_axis=self.tile_axis)
 
         next_render = None
         if self.use_dynamic_field and next_gt_pose is not None:
@@ -147,8 +181,9 @@ class NeuralRenderer(nn.Module):
                 self.image_height, self.image_width)
 
             def render_next(_):
-                img, _feat = _render_batch(params["next"], next_cameras, cfg,
-                                           bg)
+                (img, _feat), _ov = _render_batch(
+                    params["next"], next_cameras, cfg, bg,
+                    tile_mesh=self.tile_mesh, tile_axis=self.tile_axis)
                 return img
 
             # Warm-up gate via lax.cond, NOT `0 × loss`: the reference computes
@@ -167,7 +202,7 @@ class NeuralRenderer(nn.Module):
 
         zero = jnp.zeros(())
         if not training or gt_rgb is None:
-            zeros = RenderLosses(zero, zero, zero, zero, zero, zero)
+            zeros = RenderLosses(zero, zero, zero, zero, zero, zero, ov_s, ov_g)
             return zeros, RenderResult(render_novel, next_render, render_embed)
 
         loss_rgb = L.l2_loss(render_novel, gt_rgb)
@@ -191,5 +226,6 @@ class NeuralRenderer(nn.Module):
         else:
             loss_dyna = zero
 
-        return (RenderLosses(loss, loss_rgb, loss_embed, loss_dyna, l1, psnr_v),
+        return (RenderLosses(loss, loss_rgb, loss_embed, loss_dyna, l1, psnr_v,
+                             ov_s, ov_g),
                 RenderResult(render_novel, next_render, render_embed))

@@ -20,7 +20,7 @@ def test_eight_devices_available():
     assert len(jax.devices()) >= 8
 
 
-@pytest.mark.parametrize("backend", ["xla"])
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
 def test_tile_sharded_rasterizer_matches_single(backend):
     n = 128
     scene = random_scene(jax.random.PRNGKey(0), n, spread=0.35)
@@ -44,13 +44,14 @@ def test_tile_sharded_rasterizer_matches_single(backend):
                         err_msg="final_t")
 
 
-def test_tile_sharded_gradients_match_single():
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_tile_sharded_gradients_match_single(backend):
     n = 96
     scene = random_scene(jax.random.PRNGKey(5), n, spread=0.35)
     c = make_camera(64, 64, focal=60.0)
     cfg = rast.RasterizeConfig(width=64, height=64, tile=16,
                                max_tiles_per_gaussian=16, tile_capacity=96,
-                               chunk=32, backend="xla")
+                               chunk=32, backend=backend)
     mesh = make_mesh((4,), ("tile",))
     tgt = jax.random.uniform(jax.random.PRNGKey(6), (64, 64, 3))
 
@@ -70,6 +71,38 @@ def test_tile_sharded_gradients_match_single():
     g_1 = jax.grad(loss_single)(scene["means3d"])
     assert_mostly_close(g_s, g_1, atol=1e-4, rtol=1e-3, max_frac=0.02,
                         err_msg="means grad")
+
+
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_tile_sharded_train_step_matches_single(backend):
+    """Full BC update with the renderer's image tiles sharded over a 2-device
+    mesh axis must match the unsharded update (VERDICT item 2: tile sharding
+    wired into the TRAIN step, with the production pallas kernel)."""
+    import dataclasses
+    from tests.test_agent import make_batch, tiny_config
+    from manigaussian_tpu.agents.bc_agent import ManiGaussianBCAgent
+
+    cfg = tiny_config(use_dynamic_field=False, apply_se3=False)
+    nr = dataclasses.replace(cfg.method.neural_renderer, backend=backend)
+    cfg = dataclasses.replace(
+        cfg, method=dataclasses.replace(cfg.method, neural_renderer=nr))
+    batch = make_batch(jax.random.PRNGKey(0))
+
+    agent_1 = ManiGaussianBCAgent(cfg)
+    state = agent_1.init_state(jax.random.PRNGKey(1), batch, training=True)
+    _, metrics_1 = agent_1.update(state, batch, jax.random.PRNGKey(2))
+
+    tmesh = make_mesh((2,), ("tile",))  # 32x32 img, 16px tiles -> 2x2 tiles
+    agent_t = ManiGaussianBCAgent(cfg, tile_mesh=tmesh)
+    state_t = agent_t.init_state(jax.random.PRNGKey(1), batch, training=True)
+    new_state, metrics_t = agent_t.update(state_t, batch, jax.random.PRNGKey(2))
+
+    np.testing.assert_allclose(float(metrics_1["rgb_loss"]),
+                               float(metrics_t["rgb_loss"]), rtol=1e-4)
+    np.testing.assert_allclose(float(metrics_1["total_loss"]),
+                               float(metrics_t["total_loss"]), rtol=1e-4)
+    for path, leaf in jax.tree_util.tree_leaves_with_path(new_state.params):
+        assert bool(jnp.isfinite(leaf).all()), jax.tree_util.keystr(path)
 
 
 def test_data_parallel_update_matches_single_device():

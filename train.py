@@ -32,11 +32,24 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--mesh", type=int, default=0,
                         help="shard batches over this many devices (0 = single)")
+    parser.add_argument("--mesh-tile", type=int, default=0,
+                        help="shard the renderer's image tiles over this many "
+                             "devices inside the train step (0 = off)")
+    parser.add_argument("--cpu", type=int, default=0, metavar="N",
+                        help="force the CPU platform with N virtual devices "
+                             "(multi-chip smoke tests without TPU hardware)")
     parser.add_argument("--synthetic", action="store_true",
                         help="generate synthetic demos into --demo-root first")
     parser.add_argument("overrides", nargs="*",
                         help="dotted config overrides key=value")
     args = parser.parse_args(argv)
+
+    if args.cpu:
+        # Must precede any jax.devices() call; env vars are too late in this
+        # environment (sitecustomize imports jax at interpreter start).
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", args.cpu)
 
     from manigaussian_tpu.utils.config_io import load_config, save_config
     cfg = load_config(args.config, args.overrides, variant=args.variant)
@@ -65,6 +78,7 @@ def main(argv=None):
     from manigaussian_tpu.runners.offline_train_runner import OfflineTrainRunner
 
     lang = create_language_model(cfg.method.language_model,
+                                 checkpoint_dir=cfg.method.language_model_checkpoint,
                                  cache_dir=os.path.join(logdir, "lang_cache"))
     replay = TaskUniformReplay(
         save_dir=cfg.replay.path if cfg.replay.use_disk else None)
@@ -100,7 +114,14 @@ def main(argv=None):
         load_nerf_targets=cfg.method.use_neural_rendering,
         embed_fn=embed_fn)
 
-    agent = ManiGaussianBCAgent(cfg)
+    tile_mesh = None
+    if args.mesh_tile:
+        if args.mesh:
+            raise SystemExit("--mesh and --mesh-tile cannot combine yet; "
+                             "use one sharding axis per run")
+        from manigaussian_tpu.parallel.mesh import make_mesh
+        tile_mesh = make_mesh((args.mesh_tile,), ("tile",))
+    agent = ManiGaussianBCAgent(cfg, tile_mesh=tile_mesh)
     mesh = None
     if args.mesh:
         from manigaussian_tpu.parallel.mesh import make_mesh
