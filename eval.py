@@ -26,8 +26,18 @@ def main(argv=None):
     parser.add_argument("--eval-type", default="last",
                         help="missing | best | last | <int checkpoint>")
     parser.add_argument("--episodes", type=int, default=25)
+    parser.add_argument("--workers", type=int, default=1,
+                        help="evaluate checkpoints in this many parallel "
+                             "subprocesses (reference eval.py:154-172)")
+    parser.add_argument("--cpu", type=int, default=0, metavar="N",
+                        help="force the CPU platform with N virtual devices")
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", args.cpu)
 
     from manigaussian_tpu.utils.config_io import (from_dict, load_saved_config,
                                                   parse_overrides)
@@ -38,69 +48,39 @@ def main(argv=None):
     cfg = dataclasses.replace(
         cfg, method=dataclasses.replace(cfg.method, use_neural_rendering=False))
 
-    import jax
+    eval_type = (int(args.eval_type) if args.eval_type.isdigit()
+                 else args.eval_type)
+
+    if args.workers > 1:
+        from manigaussian_tpu.runners.eval_runner import run_eval_parallel
+        rows = run_eval_parallel(
+            cfg, args.logdir, args.demo_root, args.env,
+            eval_type=eval_type, eval_episodes=args.episodes,
+            num_workers=args.workers,
+            platform="cpu" if args.cpu else None)
+        for r in rows:
+            print(r)
+        return
+
     from manigaussian_tpu.agents.bc_agent import ManiGaussianBCAgent
     from manigaussian_tpu.data.language import create_language_model
-    from manigaussian_tpu.runners.eval_runner import run_eval
+    from manigaussian_tpu.runners.eval_runner import (make_env,
+                                                      make_state_skeleton,
+                                                      run_eval)
 
     agent = ManiGaussianBCAgent(cfg)
     lang = create_language_model(cfg.method.language_model,
                                  cache_dir=os.path.join(args.logdir,
                                                         "lang_cache"))
+    env = make_env(cfg, args.demo_root, args.env)
+    state_like = make_state_skeleton(cfg)
 
-    if args.env == "mock":
-        from manigaussian_tpu.envs.mock_env import MockEnvClient
-        env = MockEnvClient(args.demo_root, cameras=cfg.rlbench.cameras,
-                            episode_length=cfg.rlbench.episode_length)
-    else:
-        from manigaussian_tpu.envs.rlbench_env import RLBenchEnvClient
-        env = RLBenchEnvClient(args.demo_root, cameras=cfg.rlbench.cameras,
-                               episode_length=cfg.rlbench.episode_length)
-
-    # a state skeleton for checkpoint restore: shapes from a dummy batch
-    h, w = cfg.rlbench.camera_resolution
-    import jax.numpy as jnp
-    ncam = len(cfg.rlbench.cameras)
-    img = cfg.method.neural_renderer.image_height
-    dummy = {
-        "rgb": jnp.zeros((1, ncam, h, w, 3)),
-        "pcd": jnp.zeros((1, ncam, h, w, 3)),
-        "low_dim_state": jnp.zeros((1, 4)),
-        "lang_goal_emb": jnp.zeros((1, 1024)),
-        "lang_token_embs": jnp.zeros((1, 77, cfg.method.language_model_dim)),
-    }
-    # training=True so the restored tree includes optimizer state
-    state_like = jax.device_get(ManiGaussianBCAgent(
-        dataclasses.replace(cfg, method=dataclasses.replace(
-            cfg.method, use_neural_rendering=True))).init_state(
-        jax.random.PRNGKey(0), _train_like_batch(dummy, img), training=True))
-
-    eval_type = (int(args.eval_type) if args.eval_type.isdigit()
-                 else args.eval_type)
     rows = run_eval(agent, args.logdir, env, cfg.rlbench.tasks,
                     eval_type=eval_type, eval_episodes=args.episodes,
                     episode_length=cfg.rlbench.episode_length,
                     lang_model=lang, state_like=state_like)
     for r in rows:
         print(r)
-
-
-def _train_like_batch(dummy, img):
-    import jax.numpy as jnp
-    out = dict(dummy)
-    out.update(
-        nerf_target_rgb=jnp.zeros((1, img, img, 3)),
-        nerf_target_pose=jnp.tile(jnp.eye(4), (1, 1, 1)),
-        nerf_target_intrinsic=jnp.tile(
-            jnp.array([[float(img), 0, img / 2], [0, float(img), img / 2],
-                       [0, 0, 1.0]]), (1, 1, 1)),
-        nerf_next_target_rgb=jnp.zeros((1, img, img, 3)),
-        nerf_next_target_pose=jnp.tile(jnp.eye(4), (1, 1, 1)),
-        nerf_next_target_intrinsic=jnp.tile(
-            jnp.array([[float(img), 0, img / 2], [0, float(img), img / 2],
-                       [0, 0, 1.0]]), (1, 1, 1)),
-        action=jnp.zeros((1, 8)))
-    return out
 
 
 if __name__ == "__main__":

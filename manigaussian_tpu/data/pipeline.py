@@ -267,12 +267,19 @@ class BatchIterator:
     def _worker(self):
         while not self._stop.is_set():
             try:
-                self._q.put(self._make(), timeout=1.0)
-            except queue.Full:
-                continue
+                item = self._make()
             except Exception as e:  # surface loader errors to the consumer
                 self._q.put(e)
                 return
+            # retry the SAME batch on a full queue — re-making would advance
+            # the rng and silently drop batches (timing-dependent sampling;
+            # broke multi-process step parity, tests/test_multihost.py)
+            while not self._stop.is_set():
+                try:
+                    self._q.put(item, timeout=1.0)
+                    break
+                except queue.Full:
+                    continue
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         return self

@@ -23,6 +23,7 @@ Everything returns channels-last [B, H, W, d_embed] float32.
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Optional, Protocol
 
 import jax
@@ -132,12 +133,36 @@ def create_feature_extractor(name: Optional[str],
                              ) -> Optional[FeatureExtractor]:
     """Factory keyed by cfg.foundation_model_name (None/'diffusion'/'dinov2').
 
-    'diffusion' (ODISE/StableDiffusion) has no offline-loadable equivalent —
-    it maps to the stub unless a dinov2 checkpoint is supplied; the supervision
-    interface (3-ch PCA embedding) is identical either way.
+    'dinov2' + a torch-hub .pt checkpoint → the Flax DINOv2 tower
+    (models/dinov2.DinoV2JaxExtractor, reference-exact pipeline); a directory
+    → transformers. 'diffusion' (ODISE/StableDiffusion) has no
+    offline-loadable equivalent — it maps to the stub WITH A LOUD WARNING
+    (the supervision interface — 3-ch per-image PCA — is identical, the
+    semantics are not).
     """
+    import warnings
+
     if name is None:
         return None
-    if name == "dinov2" and checkpoint_dir:
-        return DINOv2FeatureExtractor(checkpoint_dir)
+    if name == "dinov2":
+        if checkpoint_dir and os.path.isfile(checkpoint_dir):
+            from manigaussian_tpu.models.dinov2 import DinoV2JaxExtractor
+            return DinoV2JaxExtractor(checkpoint_dir)
+        if checkpoint_dir:
+            return DINOv2FeatureExtractor(checkpoint_dir)
+        warnings.warn(
+            "foundation_model_name='dinov2' without a checkpoint: semantic "
+            "supervision falls back to StubFeatureExtractor statistics, NOT "
+            "DINOv2 features. Provide neural_renderer.foundation_checkpoint.",
+            UserWarning, stacklevel=2)
+        return StubFeatureExtractor()
+    if name == "diffusion":
+        warnings.warn(
+            "foundation_model_name='diffusion' (ODISE StableDiffusion "
+            "features) has no offline tower in this framework: semantic "
+            "supervision uses StubFeatureExtractor statistics instead. For "
+            "real semantic features use foundation_model_name='dinov2' with "
+            "a local checkpoint (models/dinov2.py).",
+            UserWarning, stacklevel=2)
+        return StubFeatureExtractor()
     return StubFeatureExtractor()

@@ -45,11 +45,22 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis: str = "data"):
-    """Device-put a host batch with the batch axis sharded over `axis`."""
+    """Device-put a host batch with the batch axis sharded over `axis`.
+
+    Multi-process: the batch must be the identical GLOBAL batch on every
+    process (parallel/distributed.py convention); only addressable shards are
+    materialized locally."""
+    if jax.process_count() > 1:
+        from manigaussian_tpu.parallel.distributed import global_batch
+        return global_batch(batch, mesh, axis)
     s = batch_sharding(mesh, axis)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
 
 
 def replicate_state(state, mesh: Mesh):
+    if jax.process_count() > 1:
+        from manigaussian_tpu.parallel.distributed import \
+            replicate_tree_global
+        return replicate_tree_global(jax.device_get(state), mesh)
     r = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, r), state)

@@ -7,7 +7,10 @@ Parity targets:
     act → env.step for episode_length steps, terminal on env error,
   * eval_data.csv rows: step + per-task mean return
     ('eval_envs/return/<task>' multi-task, 'eval_envs/return' single-task —
-    the exact column names compute_results.py consumes).
+    the exact column names compute_results.py consumes),
+  * parallel checkpoint evaluation (`eval.py:154-172` spawns one Process per
+    checkpoint) — here a spawn-context worker pool, one env+agent per worker,
+    with all CSV writes serialized in the parent so the append stays atomic.
 """
 
 from __future__ import annotations
@@ -146,4 +149,100 @@ def run_eval(agent: ManiGaussianBCAgent, logdir: str, env: EnvClient,
             rows.append(row)
     finally:
         env.shutdown()
+    return rows
+
+
+# --------------------------------------------------------------- parallel
+def make_state_skeleton(cfg):
+    """Restore skeleton for checkpoints: the training=True, renderer-on tree
+    (checkpoints always include optimizer state), shapes from a dummy batch."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    h, w = cfg.rlbench.camera_resolution
+    ncam = len(cfg.rlbench.cameras)
+    img = cfg.method.neural_renderer.image_height
+    eye_intr = jnp.array([[float(img), 0, img / 2], [0, float(img), img / 2],
+                          [0, 0, 1.0]])
+    dummy = {
+        "rgb": jnp.zeros((1, ncam, h, w, 3)),
+        "pcd": jnp.zeros((1, ncam, h, w, 3)),
+        "low_dim_state": jnp.zeros((1, 4)),
+        "lang_goal_emb": jnp.zeros((1, 1024)),
+        "lang_token_embs": jnp.zeros((1, 77, cfg.method.language_model_dim)),
+        "nerf_target_rgb": jnp.zeros((1, img, img, 3)),
+        "nerf_target_pose": jnp.tile(jnp.eye(4), (1, 1, 1)),
+        "nerf_target_intrinsic": jnp.tile(eye_intr, (1, 1, 1)),
+        "nerf_next_target_rgb": jnp.zeros((1, img, img, 3)),
+        "nerf_next_target_pose": jnp.tile(jnp.eye(4), (1, 1, 1)),
+        "nerf_next_target_intrinsic": jnp.tile(eye_intr, (1, 1, 1)),
+        "action": jnp.zeros((1, 8)),
+    }
+    train_cfg = dataclasses.replace(
+        cfg, method=dataclasses.replace(cfg.method, use_neural_rendering=True))
+    return jax.device_get(ManiGaussianBCAgent(train_cfg).init_state(
+        jax.random.PRNGKey(0), dummy, training=True, lazy=True))
+
+
+def make_env(cfg, demo_root: str, env_kind: str) -> EnvClient:
+    if env_kind == "mock":
+        from manigaussian_tpu.envs.mock_env import MockEnvClient
+        return MockEnvClient(demo_root, cameras=cfg.rlbench.cameras,
+                             episode_length=cfg.rlbench.episode_length)
+    from manigaussian_tpu.envs.rlbench_env import RLBenchEnvClient
+    return RLBenchEnvClient(demo_root, cameras=cfg.rlbench.cameras,
+                            episode_length=cfg.rlbench.episode_length)
+
+
+def _eval_worker(payload):
+    """Spawn-context worker: build agent+env+lang from the config and evaluate
+    ONE checkpoint. Runs in a fresh interpreter — force the platform before
+    any device query (workers must never contend for the single TPU claim)."""
+    (cfg, logdir, step, demo_root, env_kind, eval_episodes, platform) = payload
+    if platform:
+        jax.config.update("jax_platforms", platform)
+
+    from manigaussian_tpu.data.language import create_language_model
+
+    agent = ManiGaussianBCAgent(cfg)
+    lang = create_language_model(
+        cfg.method.language_model,
+        checkpoint_dir=cfg.method.language_model_checkpoint,
+        cache_dir=os.path.join(logdir, "lang_cache"))
+    env = make_env(cfg, demo_root, env_kind)
+    state_like = make_state_skeleton(cfg)
+    env.launch()
+    try:
+        return evaluate_checkpoint(agent, logdir, step, env,
+                                   cfg.rlbench.tasks, eval_episodes,
+                                   cfg.rlbench.episode_length, lang,
+                                   state_like)
+    finally:
+        env.shutdown()
+
+
+def run_eval_parallel(cfg, logdir: str, demo_root: str, env_kind: str,
+                      eval_type="missing", eval_episodes: int = 25,
+                      num_workers: int = 2,
+                      platform: Optional[str] = None) -> List[Dict[str, float]]:
+    """Evaluate selected checkpoints concurrently, one subprocess per
+    checkpoint bounded by `num_workers` (reference eval.py:154-172). The
+    parent does every CSV write, in checkpoint order."""
+    import multiprocessing as mp
+
+    steps = select_checkpoints(logdir, eval_type, cfg.rlbench.tasks)
+    if not steps:
+        return []
+    payloads = [(cfg, logdir, s, demo_root, env_kind, eval_episodes, platform)
+                for s in steps]
+    if num_workers <= 1 or len(steps) == 1:
+        rows = [_eval_worker(p) for p in payloads]
+    else:
+        ctx = mp.get_context("spawn")
+        with ctx.Pool(min(num_workers, len(steps))) as pool:
+            rows = pool.map(_eval_worker, payloads)
+    rows.sort(key=lambda r: r["step"])
+    for row in rows:
+        append_eval_csv(logdir, row)
     return rows

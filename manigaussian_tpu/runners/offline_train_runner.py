@@ -53,7 +53,12 @@ class OfflineTrainRunner:
         self.cfg = cfg
         self.mesh = mesh
         self.seed = seed
-        self.logger = MetricLogger(logdir, use_wandb=cfg.framework.use_wandb)
+        # multi-host: process 0 owns all host-side artifacts (CSV, checkpoints,
+        # recon panels); other processes compute only (reference gates rank 0
+        # the same way through Fabric)
+        self.is_main = jax.process_index() == 0
+        self.logger = (MetricLogger(logdir, use_wandb=cfg.framework.use_wandb)
+                       if self.is_main else None)
 
     def start(self, state: Optional[TrainState] = None,
               max_iterations: Optional[int] = None) -> TrainState:
@@ -101,18 +106,21 @@ class OfflineTrainRunner:
                 dt = time.perf_counter() - t_last
                 host["steps_per_s"] = (fw.log_freq if i else 1) / max(dt, 1e-9)
                 t_last = time.perf_counter()
-                self.logger.log(i, host)
-                self.logger.flush()
-                print(MetricLogger.format_console(i, host), flush=True)
+                if self.is_main:
+                    self.logger.log(i, host)
+                    self.logger.flush()
+                    print(MetricLogger.format_console(i, host), flush=True)
 
             if i and i % fw.save_freq == 0:
+                # every process calls (Orbax barriers internally; primary
+                # host writes) — gating to process 0 deadlocks
                 save_checkpoint(self.logdir, i, jax.device_get(state),
                                 fw.num_weights_to_keep)
 
             # periodic recon visualization (qattention:921-1010)
             render_freq = self.cfg.method.neural_renderer.render_freq
-            if (self.cfg.method.use_neural_rendering and render_freq
-                    and i % render_freq == 0
+            if (self.is_main and self.cfg.method.use_neural_rendering
+                    and render_freq and i % render_freq == 0
                     and "nerf_target_rgb" in dev_batch):
                 try:
                     from manigaussian_tpu.utils.visualization import \
@@ -137,7 +145,8 @@ class OfflineTrainRunner:
             except StopIteration:
                 break
 
-        save_checkpoint(self.logdir, total_iters - 1, jax.device_get(state),
-                        fw.num_weights_to_keep)
-        self.logger.flush()
+        save_checkpoint(self.logdir, total_iters - 1,
+                        jax.device_get(state), fw.num_weights_to_keep)
+        if self.is_main:
+            self.logger.flush()
         return state

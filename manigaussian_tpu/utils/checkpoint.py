@@ -41,16 +41,21 @@ def list_checkpoints(logdir: str) -> List[int]:
 
 def save_checkpoint(logdir: str, step: int, state,
                     num_weights_to_keep: int = 60) -> str:
+    """Multi-process: EVERY process must call this (Orbax synchronizes hosts
+    internally and only the primary host writes); the rolling-window cleanup
+    runs on process 0 alone."""
     path = os.path.join(_weights_dir(logdir), str(step))
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(os.path.abspath(path), state, force=True)
     ckptr.wait_until_finished()
     ckptr.close()
     # rolling window (offline_train_runner.py:98-102)
-    existing = list_checkpoints(logdir)
-    for old in existing[:-num_weights_to_keep] if num_weights_to_keep else []:
-        shutil.rmtree(os.path.join(_weights_dir(logdir), str(old)),
-                      ignore_errors=True)
+    if jax.process_index() == 0:
+        existing = list_checkpoints(logdir)
+        keep = existing[:-num_weights_to_keep] if num_weights_to_keep else []
+        for old in keep:
+            shutil.rmtree(os.path.join(_weights_dir(logdir), str(old)),
+                          ignore_errors=True)
     return path
 
 

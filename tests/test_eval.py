@@ -95,3 +95,43 @@ def test_compute_results_aggregation(tmp_path):
     np.testing.assert_allclose(mean, (35.0 + 35.5) / 2)
     mean_best, _, _ = aggregate([str(tmp_path / "0.csv")], "best")
     np.testing.assert_allclose(mean_best, 35.0)
+
+
+@pytest.fixture(scope="module")
+def renderer_on_setup(tmp_path_factory):
+    """Checkpoints saved from a renderer-ON training state (what real training
+    writes), restorable by eval's make_state_skeleton tree."""
+    root = str(tmp_path_factory.mktemp("demos_r"))
+    generate_task(root, "open_drawer", num_episodes=2, timesteps=10,
+                  h=16, w=16, nerf_views=3, nerf_hw=32)
+    cfg = tiny_config()
+    agent = ManiGaussianBCAgent(cfg)
+    batch = make_batch(jax.random.PRNGKey(0))
+    state = agent.init_state(jax.random.PRNGKey(1), batch, training=True,
+                             lazy=True)
+    logdir = str(tmp_path_factory.mktemp("logs_r"))
+    host_state = jax.device_get(state)
+    save_checkpoint(logdir, 100, host_state)
+    save_checkpoint(logdir, 200, host_state)
+    return root, cfg, logdir
+
+
+def test_run_eval_parallel_two_workers(renderer_on_setup):
+    """Parallel checkpoint eval (reference eval.py:154-172): both checkpoints
+    evaluated in spawn-context workers, rows appended in order by the parent."""
+    import dataclasses
+
+    from manigaussian_tpu.runners.eval_runner import run_eval_parallel
+
+    root, cfg, logdir = renderer_on_setup
+    eval_cfg = dataclasses.replace(
+        cfg, method=dataclasses.replace(cfg.method,
+                                        use_neural_rendering=False))
+    rows = run_eval_parallel(eval_cfg, logdir, root, "mock",
+                             eval_type="missing", eval_episodes=1,
+                             num_workers=2, platform="cpu")
+    assert [int(r["step"]) for r in rows] == [100, 200]
+    csv_rows = read_eval_csv(logdir)
+    assert [int(r["step"]) for r in csv_rows] == [100, 200]
+    assert all("eval_envs/return" in r for r in rows)
+    assert all(np.isfinite(r["eval_envs/return"]) for r in rows)

@@ -38,13 +38,22 @@ def main(argv=None):
     parser.add_argument("--cpu", type=int, default=0, metavar="N",
                         help="force the CPU platform with N virtual devices "
                              "(multi-chip smoke tests without TPU hardware)")
+    parser.add_argument("--dist", default=None,
+                        metavar="HOST:PORT,NPROCS,PID",
+                        help="multi-host: jax.distributed.initialize rendezvous"
+                             " spec; run the SAME command on every host with "
+                             "its own PID (reference train.py:86-129 DDP)")
     parser.add_argument("--synthetic", action="store_true",
                         help="generate synthetic demos into --demo-root first")
     parser.add_argument("overrides", nargs="*",
                         help="dotted config overrides key=value")
     args = parser.parse_args(argv)
 
-    if args.cpu:
+    if args.dist:
+        # must precede any device query (forces CPU first when --cpu is set)
+        from manigaussian_tpu.parallel.distributed import init_distributed
+        init_distributed(args.dist, cpu_devices=args.cpu)
+    elif args.cpu:
         # Must precede any jax.devices() call; env vars are too late in this
         # environment (sitecustomize imports jax at interpreter start).
         import jax
@@ -57,11 +66,17 @@ def main(argv=None):
     random.seed(args.seed)
     np.random.seed(args.seed)
 
+    is_main = True
+    if args.dist:
+        import jax
+        is_main = jax.process_index() == 0
+
     logdir = os.path.join(args.logdir, f"seed{args.seed}")
     os.makedirs(logdir, exist_ok=True)
-    save_config(cfg, logdir)
+    if is_main:
+        save_config(cfg, logdir)
 
-    if args.synthetic:
+    if args.synthetic and is_main:
         from manigaussian_tpu.data.synthetic import generate_task
         for task in cfg.rlbench.tasks:
             if not os.path.isdir(os.path.join(args.demo_root, task)):
@@ -70,6 +85,15 @@ def main(argv=None):
                               h=cfg.rlbench.camera_resolution[0],
                               w=cfg.rlbench.camera_resolution[1],
                               nerf_hw=cfg.method.neural_renderer.image_height)
+    if args.dist:
+        # every process fills its OWN replay copy from the shared demos
+        # (identical contents -> identical global batches, see
+        # parallel/distributed.py); barrier so demos exist before fills
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("demos_ready")
+        if cfg.replay.use_disk:
+            import jax
+            cfg.replay.path = f"{cfg.replay.path}_p{jax.process_index()}"
 
     from manigaussian_tpu.agents.bc_agent import ManiGaussianBCAgent
     from manigaussian_tpu.data.language import create_language_model
@@ -77,9 +101,13 @@ def main(argv=None):
     from manigaussian_tpu.data.replay import TaskUniformReplay
     from manigaussian_tpu.runners.offline_train_runner import OfflineTrainRunner
 
+    lang_cache = os.path.join(logdir, "lang_cache")
+    if args.dist and not is_main:
+        import jax
+        lang_cache = os.path.join(logdir, f"lang_cache_p{jax.process_index()}")
     lang = create_language_model(cfg.method.language_model,
                                  checkpoint_dir=cfg.method.language_model_checkpoint,
-                                 cache_dir=os.path.join(logdir, "lang_cache"))
+                                 cache_dir=lang_cache)
     replay = TaskUniformReplay(
         save_dir=cfg.replay.path if cfg.replay.use_disk else None)
     replay.reload_from_disk()
@@ -103,7 +131,8 @@ def main(argv=None):
         import jax
         from manigaussian_tpu.models.foundation import (create_feature_extractor,
                                                         extract_gt_embed)
-        extractor = create_feature_extractor(fm_name)
+        extractor = create_feature_extractor(
+            fm_name, cfg.method.neural_renderer.foundation_checkpoint)
         embed_fn = jax.jit(functools.partial(
             extract_gt_embed, extractor=extractor,
             d_embed=cfg.method.neural_renderer.d_embed))
