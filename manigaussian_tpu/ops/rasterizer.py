@@ -93,9 +93,23 @@ def _build_keys(pre: gm.ProjectedGaussians, cfg: RasterizeConfig):
     gidx = jax.lax.broadcasted_iota(jnp.int32, (n, r_cap), 0)
     rank_b = jnp.broadcast_to(ranks[:, None], (n, r_cap))
 
-    sorted_tile, _sorted_rank, sorted_gidx = jax.lax.sort(
-        (tile_id.reshape(-1), rank_b.reshape(-1), gidx.reshape(-1)),
-        num_keys=2, is_stable=True)
+    # Fuse (tile, depth_rank) into ONE int32 key when it fits (the CUDA code
+    # fuses [tile|depth] into a single 64-bit radix key the same way,
+    # rasterizer_impl.cu:70-85): a 1-key + 1-payload sort moves 2/3 the bytes
+    # of the 2-key + 1-payload one through the sorting network — measured
+    # 4.04 -> ~2.7 ms at D = 1M on a real chip. Tile ranges are then found by
+    # searchsorted directly on the fused keys.
+    rank_bits = max(1, (n - 1).bit_length())
+    if ((num_tiles << rank_bits) | (n - 1)) < 2 ** 31:
+        key = (tile_id << rank_bits) | rank_b
+        sorted_key, sorted_gidx = jax.lax.sort(
+            (key.reshape(-1), gidx.reshape(-1)), num_keys=1, is_stable=False)
+        sorted_tile = (sorted_key, rank_bits)
+    else:  # huge-N fallback: two int32 keys (same semantics)
+        st, _sr, sorted_gidx = jax.lax.sort(
+            (tile_id.reshape(-1), rank_b.reshape(-1), gidx.reshape(-1)),
+            num_keys=2, is_stable=True)
+        sorted_tile = (st, 0)
 
     overflow_gaussians = jnp.sum(
         jnp.maximum(pre.tiles_touched - r_cap, 0)).astype(jnp.int32)
@@ -105,17 +119,30 @@ def _build_keys(pre: gm.ProjectedGaussians, cfg: RasterizeConfig):
 def _tile_gather(sorted_tile, sorted_gidx, num_tiles, k_cap):
     """Per-tile front-most splat lists (identifyTileRanges analog).
 
+    `sorted_tile` is (keys [D], rank_bits) from _build_keys — tile ranges come
+    from searchsorted on the (fused) keys; each tile's splat list is then a
+    CONTIGUOUS run of `sorted_gidx`, read with vmapped dynamic_slice instead
+    of an arbitrary [T, K] gather (contiguous slices stream from HBM; the
+    elementwise gather measured 5.16 ms vs ~0.5 ms for slices at T=64/K=8k).
+
     Returns (gidx [T, K], in_list [T, K] bool, counts [T], overflow scalar).
     """
-    d = sorted_tile.shape[0]
-    tids = jax.lax.broadcasted_iota(jnp.int32, (num_tiles, 1), 0).squeeze(-1)
-    starts = jnp.searchsorted(sorted_tile, tids, side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(sorted_tile, tids, side="right").astype(jnp.int32)
+    keys, rank_bits = sorted_tile
+    d = sorted_gidx.shape[0]
+    tids = jax.lax.broadcasted_iota(jnp.int32, (num_tiles + 1, 1),
+                                    0).squeeze(-1)
+    bounds = jnp.searchsorted(keys, tids << rank_bits,
+                              side="left").astype(jnp.int32)
+    starts, ends = bounds[:-1], bounds[1:]
     counts = ends - starts
     k = jax.lax.broadcasted_iota(jnp.int32, (num_tiles, k_cap), 1)
-    pos = jnp.clip(starts[:, None] + k, 0, d - 1)
     in_list = k < jnp.minimum(counts, k_cap)[:, None]
-    gidx = sorted_gidx[pos]
+    # pad so a slice starting at d-1 stays in bounds (tail entries are masked
+    # off by in_list anyway)
+    padded = jnp.concatenate(
+        [sorted_gidx, jnp.zeros((k_cap,), sorted_gidx.dtype)])
+    gidx = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(padded, (s,), (k_cap,)))(starts)
     overflow = jnp.sum(jnp.maximum(counts - k_cap, 0)).astype(jnp.int32)
     return gidx, in_list, counts, overflow
 

@@ -64,10 +64,18 @@ def _build_keys_range(pre: gm.ProjectedGaussians, cfg: RasterizeConfig,
 
     gidx = jax.lax.broadcasted_iota(jnp.int32, (n, r_cap), 0)
     rank_b = jnp.broadcast_to(ranks[:, None], (n, r_cap))
-    sorted_tile, _r, sorted_gidx = jax.lax.sort(
+    # fused single-key sort + (keys, rank_bits) contract — see
+    # ops/rasterizer._build_keys
+    rank_bits = max(1, (n - 1).bit_length())
+    if ((n_local_tiles << rank_bits) | (n - 1)) < 2 ** 31:
+        key = (local_id << rank_bits) | rank_b
+        sorted_key, sorted_gidx = jax.lax.sort(
+            (key.reshape(-1), gidx.reshape(-1)), num_keys=1, is_stable=False)
+        return (sorted_key, rank_bits), sorted_gidx
+    st, _r, sorted_gidx = jax.lax.sort(
         (local_id.reshape(-1), rank_b.reshape(-1), gidx.reshape(-1)),
         num_keys=2, is_stable=True)
-    return sorted_tile, sorted_gidx
+    return (st, 0), sorted_gidx
 
 
 def rasterize_sharded(mesh: Mesh,

@@ -5,7 +5,7 @@ import jax, jax.numpy as jnp
 from manigaussian_tpu.ops import gaussian_math as gm
 from manigaussian_tpu.ops.rasterizer import (RasterizeConfig, _build_keys,
                                              _tile_gather, rasterize)
-from manigaussian_tpu.ops.pallas_blend import blend_tiles_pallas
+from manigaussian_tpu.ops.pallas_blend import blend_tiles_pallas, gather_splats
 import bench as B
 
 n, size = 65536, 128
@@ -31,38 +31,48 @@ def timeit(name, fn, *args, iters=20):
 pre = timeit("preprocess", jax.jit(lambda: gm.preprocess(
     means, opacities, camera, size, size, 16, scales=scales,
     rotations=rotations, shs=shs, sh_degree=1)))
-st, sg, og, nt = timeit("build_keys+sort", jax.jit(lambda: _build_keys(pre, cfg)))
-gi, il, cnt, ov = timeit("tile_gather", jax.jit(lambda: _tile_gather(st, sg, 64, cfg.tile_capacity)))
-print("counts max/mean:", int(jnp.max(cnt)), float(jnp.mean(cnt)), "overflow:", int(ov))
+(sk, rb), sg, og, nt = timeit("build_keys+sort",
+                              jax.jit(lambda: _build_keys(pre, cfg)))
+gi, il, cnt, ov = timeit("tile_gather", jax.jit(
+    lambda: _tile_gather((sk, rb), sg, 64, cfg.tile_capacity)))
+print("counts max/mean:", int(jnp.max(cnt)), float(jnp.mean(cnt)),
+      "overflow:", int(ov))
 
-# gathered tensors for the kernel
+# gathered tensors for the kernel (the production packed layout,
+# rasterizer._blend_tiles_pallas_path)
 tiles_x = 8
 t_ids = jnp.arange(64)
-origins = jnp.stack([(t_ids % tiles_x) * 16, (t_ids // tiles_x) * 16], -1).astype(jnp.float32)
+origins = jnp.stack([(t_ids % tiles_x) * 16, (t_ids // tiles_x) * 16],
+                    -1).astype(jnp.float32)
+
 
 @jax.jit
 def gather_big():
-    xyt = jnp.swapaxes(pre.means2d[gi] - origins[:, None, :], 1, 2)
-    conict = jnp.swapaxes(pre.conic[gi], 1, 2)
-    opt = pre.opacity[gi][:, None, :]
-    rgbt = jnp.swapaxes(pre.rgb[gi], 1, 2)
-    langt = jnp.swapaxes(lang[gi], 1, 2)
+    table = jnp.concatenate([
+        pre.means2d.T, pre.conic.T, pre.opacity[None, :], pre.rgb.T, lang.T,
+    ], axis=0)
+    attrs = jnp.swapaxes(gather_splats(table, gi), 0, 1)
     livet = il.astype(jnp.float32)[:, None, :]
     counts = jnp.sum(il, axis=1, dtype=jnp.int32)[:, None]
-    return counts, xyt, conict, opt, rgbt, langt, livet
+    return counts, attrs, livet
 
-gathered = timeit("param gather+transpose", gather_big)
 
-kcfg = (16, 256, False)
-timeit("pallas kernel fwd", jax.jit(lambda: blend_tiles_pallas(*gathered, kcfg)))
+counts_t, attrs_t, livet_t = timeit("param gather+transpose", gather_big)
 
-def kloss(xyt, conict, opt, rgbt, langt):
-    c, l, t = blend_tiles_pallas(gathered[0], xyt, conict, opt, rgbt, langt,
-                                 gathered[6], kcfg)
+interp = jax.default_backend() != "tpu"
+kcfg = (16, 256, interp)
+timeit("pallas kernel fwd", jax.jit(
+    lambda a: blend_tiles_pallas(counts_t, origins, a, livet_t, 3, kcfg)),
+    attrs_t)
+
+
+def kloss(a):
+    c, l, t = blend_tiles_pallas(counts_t, origins, a, livet_t, 3, kcfg)
     return jnp.sum(c ** 2) + jnp.sum(l ** 2) + jnp.sum(t ** 2)
 
-timeit("pallas kernel fwd+bwd", jax.jit(jax.grad(kloss, argnums=(0,1,2,3,4))),
-       *gathered[1:6])
+
+timeit("pallas kernel fwd+bwd", jax.jit(jax.grad(kloss)), attrs_t)
+
 
 @jax.jit
 def full_fwd():
