@@ -62,6 +62,8 @@ class QFunction(nn.Module):
     def _perceiver(self) -> PerceiverVoxelLangEncoder:
         m = self.cfg
         return PerceiverVoxelLangEncoder(
+            dtype=jnp.dtype(getattr(m, "policy_dtype", "float32")),
+            pad_mode=getattr(m, "policy_pad_mode", "edge"),
             depth=m.transformer_depth,
             iterations=m.transformer_iterations,
             voxel_size=m.voxel_sizes[0],

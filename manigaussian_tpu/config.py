@@ -105,6 +105,16 @@ class MethodConfig:
     voxel_patch_size: int = 5
     voxel_patch_stride: int = 5
     final_dim: int = 128
+    # Matmul/conv compute dtype for the policy net (perceiver + 3D U-Net).
+    # TPU-first deviation from the reference's fp32: params, optimizer state,
+    # norms, softmaxes, losses, and the renderer stay float32; only the MXU
+    # ops run bfloat16 (fp32 accumulation). 'float32' restores full fp32.
+    policy_dtype: str = "bfloat16"
+    # Boundary padding of the perceiver-tail 100³ convs: 'zero' (TPU-fast,
+    # ~60 ms/step cheaper backward) | 'edge' (the reference's
+    # padding_mode='replicate', network_utils.py:133). Differs only at the
+    # outermost voxel shell of the workspace volume.
+    policy_pad_mode: str = "zero"
     # training
     input_dropout: float = 0.1
     attn_dropout: float = 0.1

@@ -15,11 +15,16 @@ TPU-first deviations (no weights are ported, so layout/init freedom is used):
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+# Compute-dtype convention (MethodConfig.policy_dtype): `dtype` below is the
+# nn.Conv/nn.Dense computation dtype only — param_dtype stays float32, flax
+# norm layers keep float32 statistics, and activations/softmaxes upcast, so
+# bfloat16 here touches exactly the MXU ops.
 
 LRELU_SLOPE = 0.02  # network_utils.py:14
 
@@ -47,24 +52,115 @@ def _kaiming_or_xavier(activation: Optional[str]):
 
 
 class Conv3DBlock(nn.Module):
-    """k³ conv (replicate padding) + optional activation (network_utils.py:129-171)."""
+    """k³ conv + optional activation (network_utils.py:129-171).
+
+    pad_mode: 'edge' matches the reference's padding_mode='replicate'
+    (network_utils.py:133); 'zero' is the TPU-fast choice — the edge-pad's
+    backward lowers to boundary scatter-adds over the full 100³ volume and
+    measured ~20 ms/conv at 100³×256 on a real chip, while zero padding folds
+    into the conv op. Differs only at the outermost voxel shell.
+    """
 
     out_channels: int
     kernel_size: int = 3
     strides: int = 1
     activation: Optional[str] = None
     padding: Optional[int] = None
+    dtype: Any = jnp.float32
+    pad_mode: str = "edge"
 
     @nn.compact
     def __call__(self, x):  # [B, D, H, W, C]
         pad = self.kernel_size // 2 if self.padding is None else self.padding
-        if pad > 0:
+        if pad > 0 and self.pad_mode == "edge":
             x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (pad, pad), (0, 0)),
                         mode="edge")
+            conv_pad = "VALID"
+        else:
+            conv_pad = [(pad, pad)] * 3
         x = nn.Conv(self.out_channels, (self.kernel_size,) * 3,
-                    strides=(self.strides,) * 3, padding="VALID",
+                    strides=(self.strides,) * 3, padding=conv_pad,
+                    dtype=self.dtype,
                     kernel_init=_kaiming_or_xavier(self.activation))(x)
         return act_layer(self.activation)(x)
+
+
+class Patchify3D(nn.Module):
+    """Non-overlapping p³ patch embedding — the kernel==stride, padding=0 conv
+    (the perceiver's `patchify` layer) expressed as reshape + ONE matmul.
+
+    A stride-p conv's backward lowers to an lhs-dilated conv (insert p-1 zeros
+    between cotangent elements) which Mosaic executes poorly: measured +75 ms
+    fwd+bwd at 100³×128 on a real chip. The reshape+matmul formulation is the
+    same math (exactly, fp-for-fp at matching contraction order) and runs the
+    backward as two plain matmuls: ~2 ms. Param shapes/init match nn.Conv so
+    the layer is interchangeable in spirit, though the pytree path differs.
+    """
+
+    out_channels: int
+    patch: int
+    activation: Optional[str] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # [B, D, H, W, C], D/H/W % patch == 0
+        b, d, h, w, c = x.shape
+        p = self.patch
+        kernel = self.param("kernel", _kaiming_or_xavier(self.activation),
+                            (p, p, p, c, self.out_channels))
+        bias = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+        xd = x.astype(self.dtype)
+        xd = xd.reshape(b, d // p, p, h // p, p, w // p, p, c)
+        xd = xd.transpose(0, 1, 3, 5, 2, 4, 6, 7)       # [B,S,S,S,p,p,p,C]
+        xd = xd.reshape(b, d // p, h // p, w // p, p * p * p * c)
+        wd = kernel.astype(self.dtype).reshape(p * p * p * c,
+                                               self.out_channels)
+        y = jnp.einsum("bdhwk,kc->bdhwc", xd, wd,
+                       preferred_element_type=self.dtype) + bias.astype(
+            self.dtype)
+        return act_layer(self.activation)(y)
+
+
+class ChannelProjectConv3D(nn.Module):
+    """k³ conv with FEW output channels (the trans Q-head: 128→1 at 100³),
+    expressed as channel-contraction matmul + k³ static shifted adds.
+
+    A 1-output-channel conv starves the MXU (1 of 128 result lanes used) and
+    its backward pairs that with an edge-pad scatter: measured +74 ms at
+    100³ on a real chip. Equivalent decomposition: y = x_pad @ W[C, k³·Co]
+    (full-lane contraction), then out[v, co] = Σ_o y[v+o, o·Co+co] — static
+    slices XLA fuses. Replicate padding matches Conv3DBlock.
+    """
+
+    out_channels: int
+    kernel_size: int = 3
+    activation: Optional[str] = None
+    dtype: Any = jnp.float32
+    pad_mode: str = "edge"
+
+    @nn.compact
+    def __call__(self, x):  # [B, D, H, W, C]
+        b, d, h, w, c = x.shape
+        k, co = self.kernel_size, self.out_channels
+        kernel = self.param("kernel", _kaiming_or_xavier(self.activation),
+                            (k, k, k, c, co))
+        bias = self.param("bias", nn.initializers.zeros, (co,))
+        pad = k // 2
+        xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (pad, pad), (0, 0)),
+                     mode="edge" if self.pad_mode == "edge" else "constant"
+                     ).astype(self.dtype)
+        wd = kernel.astype(self.dtype).reshape(k, k, k, c, co)
+        wd = wd.transpose(3, 0, 1, 2, 4).reshape(c, k * k * k * co)
+        y = jnp.einsum("bdhwc,ck->bdhwk", xp, wd,
+                       preferred_element_type=jnp.float32)  # [B,D+2p,..,k³·Co]
+        out = jnp.zeros((b, d, h, w, co), jnp.float32)
+        for oi in range(k):
+            for oj in range(k):
+                for ok in range(k):
+                    o = (oi * k + oj) * k + ok
+                    out = out + y[:, oi:oi + d, oj:oj + h, ok:ok + w,
+                                  o * co:(o + 1) * co]
+        return act_layer(self.activation)(out + bias)
 
 
 class DenseBlock(nn.Module):
@@ -73,10 +169,11 @@ class DenseBlock(nn.Module):
     out_features: int
     activation: Optional[str] = None
     norm: Optional[str] = None
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.out_features,
+        x = nn.Dense(self.out_features, dtype=self.dtype,
                      kernel_init=_kaiming_or_xavier(self.activation))(x)
         if self.norm == "layer":
             x = nn.LayerNorm()(x)
@@ -90,12 +187,13 @@ class ConvNormAct3D(nn.Module):
     out_channels: int
     kernel_size: int = 3
     strides: int = 1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         pad = self.kernel_size // 2
         x = nn.Conv(self.out_channels, (self.kernel_size,) * 3,
-                    strides=(self.strides,) * 3,
+                    strides=(self.strides,) * 3, dtype=self.dtype,
                     padding=[(pad, pad)] * 3, use_bias=False)(x)
         x = nn.GroupNorm(num_groups=None, group_size=1)(x)  # instance norm
         return jax.nn.leaky_relu(x, 0.01)
@@ -113,7 +211,8 @@ class SpatialSoftmax3D(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, d, h, w, c = x.shape
-        flat = x.reshape(b, d * h * w, c) / self.temperature
+        # softmax over ~1e6 positions: always float32 (bf16 inputs upcast)
+        flat = x.astype(jnp.float32).reshape(b, d * h * w, c) / self.temperature
         attn = jax.nn.softmax(flat, axis=1)
         gd = jnp.linspace(-1.0, 1.0, d)
         gh = jnp.linspace(-1.0, 1.0, h)
@@ -131,16 +230,20 @@ class Conv3DUpsampleBlock(nn.Module):
     strides: int
     kernel_size: int = 3
     activation: Optional[str] = None
+    dtype: Any = jnp.float32
+    pad_mode: str = "edge"
 
     @nn.compact
     def __call__(self, x):
         x = Conv3DBlock(self.out_channels, self.kernel_size, 1,
-                        self.activation)(x)
+                        self.activation, dtype=self.dtype,
+                        pad_mode=self.pad_mode)(x)
         if self.strides > 1:
             b, d, h, w, c = x.shape
             x = jax.image.resize(
                 x, (b, d * self.strides, h * self.strides, w * self.strides, c),
                 method="trilinear")
         x = Conv3DBlock(self.out_channels, self.kernel_size, 1,
-                        self.activation)(x)
+                        self.activation, dtype=self.dtype,
+                        pad_mode=self.pad_mode)(x)
         return x

@@ -25,14 +25,15 @@ multi-scale list.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from manigaussian_tpu.models.blocks import (Conv3DBlock, Conv3DUpsampleBlock,
-                                            DenseBlock, SpatialSoftmax3D)
+from manigaussian_tpu.models.blocks import (ChannelProjectConv3D, Conv3DBlock,
+                                            Conv3DUpsampleBlock, DenseBlock,
+                                            Patchify3D, SpatialSoftmax3D)
 from manigaussian_tpu.models.unet3d import VoxelUNetShallow
 
 
@@ -42,13 +43,15 @@ class Attention(nn.Module):
     heads: int = 8
     dim_head: int = 64
     dropout: float = 0.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, context=None, deterministic: bool = True):
         context = x if context is None else context
         inner = self.heads * self.dim_head
-        q = nn.Dense(inner, use_bias=False, name="to_q")(x)
-        kv = nn.Dense(inner * 2, use_bias=False, name="to_kv")(context)
+        q = nn.Dense(inner, use_bias=False, name="to_q", dtype=self.dtype)(x)
+        kv = nn.Dense(inner * 2, use_bias=False, name="to_kv",
+                      dtype=self.dtype)(context)
         k, v = jnp.split(kv, 2, axis=-1)
 
         def split_heads(t):
@@ -59,26 +62,27 @@ class Attention(nn.Module):
         scale = self.dim_head ** -0.5
         logits = jnp.einsum("bhid,bhjd->bhij", q * scale, k,
                             preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(logits, axis=-1)
+        attn = jax.nn.softmax(logits, axis=-1)   # fp32 (preferred_element_type)
         attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-        out = jnp.einsum("bhij,bhjd->bhid", attn, v,
+        out = jnp.einsum("bhij,bhjd->bhid", attn.astype(v.dtype), v,
                          preferred_element_type=jnp.float32)
         b, _, n, _ = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
-        return nn.Dense(x.shape[-1], name="to_out")(out)
+        return nn.Dense(x.shape[-1], name="to_out", dtype=self.dtype)(out)
 
 
 class GEGLUFeedForward(nn.Module):
     """dim → dim*mult*2 → GEGLU → dim (perceiver_lang_io.py:84-100)."""
 
     mult: int = 4
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         d = x.shape[-1]
-        h = nn.Dense(d * self.mult * 2)(x)
+        h = nn.Dense(d * self.mult * 2, dtype=self.dtype)(x)
         h, gates = jnp.split(h, 2, axis=-1)
-        return nn.Dense(d)(h * jax.nn.gelu(gates))
+        return nn.Dense(d, dtype=self.dtype)(h * jax.nn.gelu(gates))
 
 
 class PreNormAttention(nn.Module):
@@ -86,19 +90,23 @@ class PreNormAttention(nn.Module):
     dim_head: int
     dropout: float = 0.0
     cross: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, context=None, deterministic: bool = True):
         xn = nn.LayerNorm()(x)
         cn = nn.LayerNorm()(context) if self.cross else None
-        return Attention(self.heads, self.dim_head, self.dropout)(
+        return Attention(self.heads, self.dim_head, self.dropout,
+                         dtype=self.dtype)(
             xn, context=cn, deterministic=deterministic)
 
 
 class PreNormFF(nn.Module):
+    dtype: Any = jnp.float32
+
     @nn.compact
     def __call__(self, x):
-        return GEGLUFeedForward()(nn.LayerNorm()(x))
+        return GEGLUFeedForward(dtype=self.dtype)(nn.LayerNorm()(x))
 
 
 class PerceiverVoxelLangEncoder(nn.Module):
@@ -130,6 +138,11 @@ class PerceiverVoxelLangEncoder(nn.Module):
     no_perceiver: bool = False
     no_language: bool = False
     unet_channels: Sequence[int] = (8, 16, 32, 64)
+    # matmul/conv compute dtype (MethodConfig.policy_dtype): heads, norms,
+    # softmaxes and the trans decoder stay float32
+    dtype: Any = jnp.float32
+    # boundary padding of the 100³ tail convs (MethodConfig.policy_pad_mode)
+    pad_mode: str = "edge"
 
     @nn.compact
     def __call__(self, voxel_grid: jnp.ndarray, proprio: jnp.ndarray,
@@ -152,14 +165,17 @@ class PerceiverVoxelLangEncoder(nn.Module):
 
         d0, _multi_scale = VoxelUNetShallow(
             out_channels=self.im_channels, channels=tuple(self.unet_channels),
-            name="encoder_3d")(voxel_grid)                     # [B,V,V,V,128]
+            dtype=self.dtype, name="encoder_3d")(voxel_grid)   # [B,V,V,V,128]
 
         feats = [SpatialSoftmax3D()(d0),
                  jnp.max(d0, axis=(1, 2, 3))]                  # 3C + C
 
-        ins = Conv3DBlock(self.im_channels, self.voxel_patch_size,
-                          self.voxel_patch_stride, self.activation, padding=0,
-                          name="patchify")(d0)                 # [B,S,S,S,128]
+        # patchify: kernel==stride non-overlapping conv as reshape+matmul
+        # (blocks.Patchify3D rationale — stride-5 conv backward is a Mosaic
+        # pathology, +75 ms/step measured)
+        ins = Patchify3D(self.im_channels, self.voxel_patch_size,
+                         self.activation, dtype=self.dtype,
+                         name="patchify")(d0)                  # [B,S,S,S,128]
 
         if self.low_dim_size > 0:
             p = DenseBlock(self.im_channels, self.activation,
@@ -171,7 +187,8 @@ class PerceiverVoxelLangEncoder(nn.Module):
         queries_shape = ins.shape
         ins = ins.reshape(b, spatial ** 3, token_dim)          # [B,8000,256]
 
-        lang = nn.Dense(token_dim, name="lang_preprocess")(lang_token_embs)
+        lang = nn.Dense(token_dim, name="lang_preprocess",
+                        dtype=self.dtype)(lang_token_embs)
         num_lang = lang.shape[1]
         ins = jnp.concatenate([lang, ins], axis=1)             # [B,8077,256]
 
@@ -185,11 +202,12 @@ class PerceiverVoxelLangEncoder(nn.Module):
 
         cross_attn = PreNormAttention(self.cross_heads, self.cross_dim_head,
                                       self.input_dropout, cross=True,
-                                      name="cross_attn")
-        cross_ff = PreNormFF(name="cross_ff")
+                                      dtype=self.dtype, name="cross_attn")
+        cross_ff = PreNormFF(dtype=self.dtype, name="cross_ff")
         self_blocks = [(PreNormAttention(self.latent_heads, self.latent_dim_head,
-                                         self.attn_dropout, name=f"self_attn_{i}"),
-                        PreNormFF(name=f"self_ff_{i}"))
+                                         self.attn_dropout, dtype=self.dtype,
+                                         name=f"self_attn_{i}"),
+                        PreNormFF(dtype=self.dtype, name=f"self_ff_{i}"))
                        for i in range(self.depth)]
 
         for _ in range(self.iterations):
@@ -201,7 +219,7 @@ class PerceiverVoxelLangEncoder(nn.Module):
 
         dec = PreNormAttention(self.cross_heads, self.cross_dim_head,
                                self.decoder_dropout, cross=True,
-                               name="decoder_cross_attn")(
+                               dtype=self.dtype, name="decoder_cross_attn")(
             ins, context=x, deterministic=deterministic)       # [B,8077,256]
 
         dec = dec[:, num_lang:]
@@ -211,19 +229,32 @@ class PerceiverVoxelLangEncoder(nn.Module):
 
         up = Conv3DUpsampleBlock(self.final_dim, self.voxel_patch_stride,
                                  kernel_size=3, activation=self.activation,
+                                 dtype=self.dtype, pad_mode=self.pad_mode,
                                  name="up0")(dec)              # [B,V,V,V,128]
 
         if self.no_skip_connection:
             lat = Conv3DBlock(self.im_channels, 3, 1, self.activation,
+                              dtype=self.dtype, pad_mode=self.pad_mode,
                               name="final")(up)
         elif self.no_perceiver:
             lat = Conv3DBlock(self.im_channels, 3, 1, self.activation,
+                              dtype=self.dtype, pad_mode=self.pad_mode,
                               name="final")(d0)
         else:
+            # concat in the compute dtype: at bf16 this halves the HBM cost of
+            # the heaviest tensor in the net (100³×256ch)
             lat = Conv3DBlock(self.im_channels, 3, 1, self.activation,
-                              name="final")(jnp.concatenate([d0, up], axis=-1))
+                              dtype=self.dtype, pad_mode=self.pad_mode,
+                              name="final")(
+                jnp.concatenate([d0.astype(self.dtype),
+                                 up.astype(self.dtype)], axis=-1))
 
-        trans = Conv3DBlock(1, 3, 1, None, name="trans_decoder")(lat)  # [B,V,V,V,1]
+        # Q-head: 128→1 conv as channel-contraction matmul + shifted adds
+        # (blocks.ChannelProjectConv3D — 1-lane convs starve the MXU, +74 ms
+        # measured); contraction in compute dtype, fp32 accumulation/logits
+        trans = ChannelProjectConv3D(1, 3, None, dtype=self.dtype,
+                                     pad_mode=self.pad_mode,
+                                     name="trans_decoder")(lat)  # [B,V,V,V,1]
 
         rot_grip_q = None
         collision_q = None

@@ -110,7 +110,13 @@ def test_data_parallel_update_matches_single_device():
     from tests.test_agent import make_batch, tiny_config
     from manigaussian_tpu.agents.bc_agent import ManiGaussianBCAgent
 
+    import dataclasses
+
     cfg = tiny_config(use_neural_rendering=False, apply_se3=False)
+    # fp32 policy: this test pins SHARDING parity at rtol 1e-5; bf16 batch-8
+    # vs 8x-batch-1 conv tilings legitimately reassociate (~1e-4 rel)
+    cfg = dataclasses.replace(cfg, method=dataclasses.replace(
+        cfg.method, policy_dtype="float32"))
     agent = ManiGaussianBCAgent(cfg)
     batch = make_batch(jax.random.PRNGKey(0), b=8)
     state = agent.init_state(jax.random.PRNGKey(1), batch, training=True)
