@@ -62,13 +62,13 @@ def main(argv=None):
             print(r)
         return
 
-    from manigaussian_tpu.agents.bc_agent import ManiGaussianBCAgent
+    from manigaussian_tpu.agents.registry import create_agent
     from manigaussian_tpu.data.language import create_language_model
     from manigaussian_tpu.runners.eval_runner import (make_env,
                                                       make_state_skeleton,
                                                       run_eval)
 
-    agent = ManiGaussianBCAgent(cfg)
+    agent = create_agent(cfg)
     lang = create_language_model(cfg.method.language_model,
                                  cache_dir=os.path.join(args.logdir,
                                                         "lang_cache"))

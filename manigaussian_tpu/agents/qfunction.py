@@ -26,6 +26,7 @@ from flax import linen as nn
 from manigaussian_tpu.config import MethodConfig
 from manigaussian_tpu.models.perceiver import PerceiverVoxelLangEncoder
 from manigaussian_tpu.ops.voxelize import voxelize
+from manigaussian_tpu.rendering.nerf_renderer import GNFactorNeRFRenderer
 from manigaussian_tpu.rendering.neural_renderer import (NeuralRenderer,
                                                         RenderLosses,
                                                         RenderResult)
@@ -90,6 +91,23 @@ class QFunction(nn.Module):
             no_language=m.no_language,
             name="qnet")
 
+    def _nerf_renderer(self) -> GNFactorNeRFRenderer:
+        """GNFactor volumetric baseline (reference agents/gnfactor_bc/
+        neural_rendering.py; selected by neural_renderer.renderer_type='nerf')."""
+        r = self.cfg.neural_renderer
+        return GNFactorNeRFRenderer(
+            coordinate_bounds=tuple(r.coordinate_bounds),
+            image_width=r.image_width, image_height=r.image_height,
+            z_near=r.znear, z_far=r.zfar,
+            n_coarse=r.n_coarse, n_fine=r.n_fine,
+            n_fine_depth=r.n_fine_depth, depth_std=r.depth_std,
+            ray_chunk_size=r.ray_chunk_size, d_latent=r.d_latent,
+            d_embed=r.d_embed, d_hidden=r.mlp.d_hidden,
+            n_blocks=r.mlp.n_blocks, combine_layer=r.mlp.combine_layer,
+            lambda_rgb=r.lambda_rgb, lambda_embed=r.lambda_embed,
+            noise_std=r.noise_std, white_bkgd=r.white_bkgd,
+            name="neural_renderer")
+
     def _renderer(self) -> NeuralRenderer:
         r = self.cfg.neural_renderer
         return NeuralRenderer(
@@ -134,7 +152,12 @@ class QFunction(nn.Module):
             deterministic=deterministic)
 
         render_losses, render_result = None, None
-        if use_neural_rendering and m.use_neural_rendering:
+        if (use_neural_rendering and m.use_neural_rendering
+                and m.neural_renderer.renderer_type == "nerf"):
+            render_losses, render_result = self._nerf_branch(
+                d0, nerf_target_rgb, nerf_target_pose, nerf_target_intrinsic,
+                gt_embed, deterministic)
+        elif use_neural_rendering and m.use_neural_rendering:
             # front camera only (qattention:252-258)
             front_pcd = pcd[:, 0].reshape(pcd.shape[0], -1, 3)
             render_losses, render_result = self._renderer()(
@@ -149,6 +172,43 @@ class QFunction(nn.Module):
 
         return QOutput(q_trans, q_rot_grip, q_coll, voxel_grid,
                        render_losses, render_result)
+
+    def _nerf_branch(self, d0, gt_rgb, gt_pose, gt_intrinsic, gt_embed,
+                     deterministic):
+        """GNFactor aux loss: volume-render random ray chunks against the GT
+        view (qattention_gnfactor_bc_agent analog). Returns the same
+        RenderLosses/RenderResult shapes as the splat path so bc_agent's
+        metric plumbing is renderer-agnostic."""
+        renderer = self._nerf_renderer()
+        if gt_rgb is None:
+            if gt_pose is not None:  # vis path: full-image render
+                rgb, _depth = renderer.render_image(
+                    d0[0], gt_pose[0], gt_intrinsic[0], jax.random.PRNGKey(0))
+                return None, RenderResult(render_novel=rgb[None],
+                                          next_render_novel=None,
+                                          render_embed=None)
+            return None, None
+        key = (self.make_rng("dropout") if not deterministic
+               else jax.random.PRNGKey(0))
+        r = self.cfg.neural_renderer
+        have_embed = gt_embed is not None
+        if not have_embed:
+            b, h, w = gt_rgb.shape[0], gt_rgb.shape[1], gt_rgb.shape[2]
+            gt_embed = jnp.zeros((b, h, w, r.d_embed), jnp.float32)
+        nl = renderer(d0, gt_rgb, gt_pose, gt_intrinsic, gt_embed, key,
+                      training=not deterministic)
+        zero = jnp.zeros((), jnp.float32)
+        embed_loss = (nl.loss_embed_coarse + nl.loss_embed_fine
+                      if have_embed else zero)
+        loss = (nl.loss if have_embed
+                else nl.loss_rgb_coarse + nl.loss_rgb_fine)
+        losses = RenderLosses(
+            loss=loss,
+            loss_rgb=nl.loss_rgb_coarse + nl.loss_rgb_fine,
+            loss_embed=embed_loss, loss_dyna=zero, l1=zero, psnr=nl.psnr,
+            overflow_splats=jnp.zeros((), jnp.int32),
+            overflow_gaussians=jnp.zeros((), jnp.int32))
+        return losses, None
 
 
 def choose_highest_action(q_trans: jnp.ndarray, q_rot_grip: jnp.ndarray,

@@ -7,9 +7,12 @@ Parity target: the reference's method dispatch (`eval.py:46-58`,
     (agents/peract_bc/qattention_peract_bc_agent.py:33-729 is the identical
     policy minus rendering) → mapped to ManiGaussianBCAgent with
     use_neural_rendering=False.
-  * GNFACTOR_BC — the NeRF-volumetric baseline. Deliberately NOT ported
-    (SURVEY.md §7: capability superseded by Gaussian splatting); the registry
-    slot raises with guidance, as planned.
+  * GNFACTOR_BC — the NeRF-volumetric baseline
+    (agents/gnfactor_bc/qattention_gnfactor_bc_agent.py): the same Q-attention
+    policy with a generalizable-NeRF aux renderer instead of the splat world
+    model → mapped to ManiGaussianBCAgent with
+    neural_renderer.renderer_type='nerf' (rendering/nerf_renderer.py) and the
+    dynamic field off (GNFactor has no next-frame branch).
 """
 
 from __future__ import annotations
@@ -20,18 +23,23 @@ from manigaussian_tpu.agents.bc_agent import ManiGaussianBCAgent
 from manigaussian_tpu.config import ManiGaussianConfig
 
 
-def create_agent(cfg: ManiGaussianConfig) -> ManiGaussianBCAgent:
+def create_agent(cfg: ManiGaussianConfig,
+                 tile_mesh=None) -> ManiGaussianBCAgent:
     name = cfg.method.name
     if name == "ManiGaussian_BC":
-        return ManiGaussianBCAgent(cfg)
+        return ManiGaussianBCAgent(cfg, tile_mesh=tile_mesh)
     if name == "PERACT_BC":
         cfg = dataclasses.replace(
             cfg, method=dataclasses.replace(cfg.method,
                                             use_neural_rendering=False))
-        return ManiGaussianBCAgent(cfg)
+        return ManiGaussianBCAgent(cfg, tile_mesh=tile_mesh)
     if name == "GNFACTOR_BC":
-        raise NotImplementedError(
-            "GNFACTOR_BC (NeRF volumetric renderer) is superseded by the "
-            "Gaussian-splat world model: use method.name=ManiGaussian_BC. "
-            "(SURVEY.md §7: deliberately not ported.)")
+        nr = dataclasses.replace(cfg.method.neural_renderer,
+                                 renderer_type="nerf",
+                                 use_dynamic_field=False)
+        cfg = dataclasses.replace(
+            cfg, method=dataclasses.replace(cfg.method,
+                                            use_neural_rendering=True,
+                                            neural_renderer=nr))
+        return ManiGaussianBCAgent(cfg, tile_mesh=tile_mesh)
     raise ValueError(f"Method {name} does not exist.")

@@ -74,6 +74,17 @@ class NeuralRendererConfig:
     tile_capacity: int = 2048
     chunk: int = 256
     backend: str = "pallas"    # "pallas" (TPU kernel) | "xla" (lax.scan)
+    # 'gaussian' = the ManiGaussian splat renderer; 'nerf' = the GNFactor
+    # volumetric baseline (rendering/nerf_renderer.py, reference
+    # conf/method/GNFACTOR_BC.yaml:120-148)
+    renderer_type: str = "gaussian"
+    n_coarse: int = 64
+    n_fine: int = 32
+    n_fine_depth: int = 16
+    ray_chunk_size: int = 512
+    depth_std: float = 0.01
+    noise_std: float = 0.0
+    white_bkgd: bool = False
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,308 @@
+"""Generalizable-NeRF renderer — the GNFactor baseline's volume renderer.
+
+Parity target: `/root/reference/agents/gnfactor_bc/neural_rendering.py`
+(NeuralRenderer.forward_nerf/compute_rendering_loss:313-470) +
+`models_embed.py` (GeneralizableNeRFEmbedNet.forward:264-380):
+
+  rays from the GT camera → stratified coarse samples (n_coarse=64) →
+  per-point: trilinear-sample the voxel feature volume at canonical xyz
+  (grid_sample align_corners=True, models_embed.py:228-246), positional-encode
+  xyz (num_freqs 6, factor 1.5, include_input) + raw viewdirs, ResnetFC
+  (d_latent=128, d_out=4+d_embed, shared coarse/fine) → (rgb, sigma, embed) →
+  alpha compositing (alpha = 1-exp(-delta·relu(sigma)), cumprod transmittance,
+  neural_rendering.py:238-258) → fine pass on [coarse ∪ importance(n_fine-
+  n_fine_depth) ∪ depth-guided(n_fine_depth)] samples, sorted → MSE losses on
+  a random 512-ray chunk (coarse+fine, rgb+embed, :410-466).
+
+TPU-first redesign:
+  * pure function of (params, rays, key) — the reference's stateful
+    encode()/forward() split becomes explicit voxel_feat arguments;
+  * every shape is static: ray chunk, sample counts; importance sampling uses
+    vectorized jnp.searchsorted on the CDF (no data-dependent loops);
+  * all N_rays × K points are evaluated in ONE ResnetFC call (the reference
+    chunks through eval_batch_size=4096 sequentially — on TPU the whole
+    512×112-point batch is a single MXU-friendly matmul stack);
+  * trilinear voxel sampling is 8 fused gathers (jit-safe take) instead of
+    grid_sample.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from manigaussian_tpu.models.positional import PositionalEncoding
+from manigaussian_tpu.models.resnetfc import ResnetFC
+
+
+class NerfOutputs(NamedTuple):
+    rgb: jnp.ndarray      # [B, R, 3]
+    embed: jnp.ndarray    # [B, R, d_embed]
+    depth: jnp.ndarray    # [B, R]
+    weights: jnp.ndarray  # [B, R, K]
+
+
+class NerfLosses(NamedTuple):
+    loss: jnp.ndarray
+    loss_rgb_coarse: jnp.ndarray
+    loss_rgb_fine: jnp.ndarray
+    loss_embed_coarse: jnp.ndarray
+    loss_embed_fine: jnp.ndarray
+    psnr: jnp.ndarray
+
+
+def gen_rays(c2w: jnp.ndarray, intrinsic: jnp.ndarray, width: int, height: int,
+             z_near: float, z_far: float) -> jnp.ndarray:
+    """Camera rays [H*W, 8] = (origin 3, dir 3, near, far).
+
+    Matches utils.gen_rays (utils.py:49-78): dirs through pixel centers via
+    K^-1, rotated by the c2w rotation; origins at the camera center.
+    """
+    ys, xs = jnp.meshgrid(jnp.arange(height, dtype=jnp.float32),
+                          jnp.arange(width, dtype=jnp.float32), indexing="ij")
+    fx, fy = intrinsic[0, 0], intrinsic[1, 1]
+    cx, cy = intrinsic[0, 2], intrinsic[1, 2]
+    dirs = jnp.stack([(xs - cx) / fx, (ys - cy) / fy, jnp.ones_like(xs)],
+                     axis=-1).reshape(-1, 3)                    # [HW, 3]
+    dirs = dirs @ c2w[:3, :3].T
+    dirs = dirs / (jnp.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-9)
+    origins = jnp.broadcast_to(c2w[:3, 3], dirs.shape)
+    near = jnp.full((dirs.shape[0], 1), z_near, jnp.float32)
+    far = jnp.full((dirs.shape[0], 1), z_far, jnp.float32)
+    return jnp.concatenate([origins, dirs, near, far], axis=-1)
+
+
+def trilinear_sample(volume: jnp.ndarray, uvw: jnp.ndarray) -> jnp.ndarray:
+    """volume [D, H, W, C] sampled at uvw [N, 3] in [0, 1]³ (canonical coords,
+    xyz order = volume axis order), align_corners=True grid_sample parity
+    (models_embed.py:244: out-of-range points clamp to the border)."""
+    d, h, w, _ = volume.shape
+    scale = jnp.array([d - 1, h - 1, w - 1], jnp.float32)
+    pos = jnp.clip(uvw, 0.0, 1.0) * scale
+    lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0,
+                  jnp.array([d - 2, h - 2, w - 2]))
+    frac = pos - lo.astype(jnp.float32)                          # [N, 3]
+
+    def gather(dx, dy, dz):
+        idx = (lo[:, 0] + dx) * h * w + (lo[:, 1] + dy) * w + (lo[:, 2] + dz)
+        return jnp.take(volume.reshape(-1, volume.shape[-1]), idx, axis=0)
+
+    fx, fy, fz = frac[:, 0:1], frac[:, 1:2], frac[:, 2:3]
+    c00 = gather(0, 0, 0) * (1 - fz) + gather(0, 0, 1) * fz
+    c01 = gather(0, 1, 0) * (1 - fz) + gather(0, 1, 1) * fz
+    c10 = gather(1, 0, 0) * (1 - fz) + gather(1, 0, 1) * fz
+    c11 = gather(1, 1, 0) * (1 - fz) + gather(1, 1, 1) * fz
+    c0 = c00 * (1 - fy) + c01 * fy
+    c1 = c10 * (1 - fy) + c11 * fy
+    return c0 * (1 - fx) + c1 * fx
+
+
+class GeneralizableNerf(nn.Module):
+    """Point network: canonical xyz + viewdirs + sampled voxel latent →
+    (rgb 3, sigma 1, embed d_embed). models_embed.py:264-380."""
+
+    coordinate_bounds: tuple
+    d_latent: int = 128
+    d_embed: int = 512
+    d_hidden: int = 512
+    n_blocks: int = 5
+    combine_layer: int = 3
+    num_freqs: int = 6
+    freq_factor: float = 1.5
+
+    @nn.compact
+    def __call__(self, voxel_feat, points, viewdirs):
+        """voxel_feat [V,V,V,C]; points/viewdirs [N, 3] world-space."""
+        bounds = jnp.asarray(self.coordinate_bounds, jnp.float32)
+        canon = (points - bounds[:3]) / (bounds[3:] - bounds[:3])
+
+        code = PositionalEncoding(self.num_freqs, d_in=3,
+                                  freq_factor=self.freq_factor,
+                                  include_input=True)
+        z_feature = jnp.concatenate([code(canon), viewdirs], axis=-1)
+
+        latent = trilinear_sample(voxel_feat, canon)             # [N, d_latent]
+        mlp_in = jnp.concatenate([latent, z_feature], axis=-1)
+        out, _last = ResnetFC(
+            d_out=4 + self.d_embed, n_blocks=self.n_blocks,
+            d_latent=self.d_latent, d_hidden=self.d_hidden,
+            combine_layer=self.combine_layer, name="mlp")(mlp_in)
+        return out                                               # [N, 4+d_embed]
+
+
+class GNFactorNeRFRenderer(nn.Module):
+    """Volume renderer with coarse + fine passes and the GNFactor loss head.
+
+    One flax module so the shared MLP (share_mlp=True,
+    GNFACTOR_BC.yaml:111) has a single parameter set used by both passes.
+    """
+
+    coordinate_bounds: tuple
+    image_width: int = 128
+    image_height: int = 128
+    z_near: float = 0.1
+    z_far: float = 4.0
+    n_coarse: int = 64
+    n_fine: int = 32
+    n_fine_depth: int = 16
+    depth_std: float = 0.01
+    ray_chunk_size: int = 512
+    d_latent: int = 128
+    d_embed: int = 512
+    d_hidden: int = 512
+    n_blocks: int = 5
+    combine_layer: int = 3
+    lambda_rgb: float = 1.0
+    lambda_embed: float = 0.01
+    noise_std: float = 0.0
+    white_bkgd: bool = False
+
+    def setup(self):
+        self.nerf = GeneralizableNerf(
+            coordinate_bounds=self.coordinate_bounds,
+            d_latent=self.d_latent, d_embed=self.d_embed,
+            d_hidden=self.d_hidden, n_blocks=self.n_blocks,
+            combine_layer=self.combine_layer, name="nerf")
+
+    # ------------------------------------------------------------- sampling
+    def _sample_coarse(self, rays, key):
+        """Stratified coarse depths [R, Kc] (neural_rendering.py:81-99)."""
+        near, far = rays[:, 6:7], rays[:, 7:8]
+        r = rays.shape[0]
+        step = 1.0 / self.n_coarse
+        z = jnp.linspace(0.0, 1.0 - step, self.n_coarse)[None, :]
+        z = z + jax.random.uniform(key, (r, self.n_coarse)) * step
+        return near * (1 - z) + far * z
+
+    def _sample_fine(self, rays, weights, key):
+        """Importance samples [R, Kf-Kfd] from the coarse weight CDF
+        (neural_rendering.py:101-125)."""
+        r, kc = weights.shape
+        n = self.n_fine - self.n_fine_depth
+        w = jax.lax.stop_gradient(weights) + 1e-5
+        pdf = w / jnp.sum(w, -1, keepdims=True)
+        cdf = jnp.concatenate([jnp.zeros((r, 1)), jnp.cumsum(pdf, -1)], -1)
+        u = jax.random.uniform(key, (r, n))
+        inds = jax.vmap(lambda c, q: jnp.searchsorted(c, q, side="right"))(
+            cdf, u).astype(jnp.float32) - 1.0
+        inds = jnp.maximum(inds, 0.0)
+        z = (inds + jax.random.uniform(jax.random.fold_in(key, 1),
+                                       (r, n))) / kc
+        near, far = rays[:, 6:7], rays[:, 7:8]
+        return near * (1 - z) + far * z
+
+    def _sample_fine_depth(self, rays, depth, key):
+        """Gaussian samples around the coarse depth [R, Kfd]
+        (neural_rendering.py:128-139)."""
+        z = jnp.broadcast_to(depth[:, None], (depth.shape[0],
+                                              self.n_fine_depth))
+        z = z + jax.random.normal(key, z.shape) * self.depth_std
+        return jnp.clip(z, rays[:, 6:7], rays[:, 7:8])
+
+    # ------------------------------------------------------------ composite
+    def _composite(self, voxel_feat, rays, z_samp, key, training):
+        """Alpha-composite along rays (neural_rendering.py:142-273)."""
+        r, k = z_samp.shape
+        deltas = jnp.concatenate(
+            [z_samp[:, 1:] - z_samp[:, :-1],
+             rays[:, 7:8] - z_samp[:, -1:]], -1)                # [R, K]
+        points = (rays[:, None, :3]
+                  + z_samp[..., None] * rays[:, None, 3:6]).reshape(-1, 3)
+        viewdirs = jnp.broadcast_to(rays[:, None, 3:6],
+                                    (r, k, 3)).reshape(-1, 3)
+
+        out = self.nerf(voxel_feat, points, viewdirs).reshape(r, k, -1)
+        rgbs = out[..., :3]
+        sigmas = out[..., 3]
+        embeds = out[..., 4:]
+        if training and self.noise_std > 0.0:
+            sigmas = sigmas + jax.random.normal(key, sigmas.shape) \
+                * self.noise_std
+
+        alphas = 1.0 - jnp.exp(-deltas * jax.nn.relu(sigmas))   # [R, K]
+        shifted = jnp.concatenate(
+            [jnp.ones((r, 1)), 1.0 - alphas + 1e-10], -1)
+        transmit = jnp.cumprod(shifted, -1)                      # [R, K+1]
+        weights = alphas * transmit[:, :-1]
+
+        rgb = jnp.sum(weights[..., None] * rgbs, -2)
+        embed = jnp.sum(weights[..., None] * embeds, -2)
+        depth = jnp.sum(weights * z_samp, -1)
+        if self.white_bkgd:
+            rgb = rgb + (1.0 - jnp.sum(weights, -1, keepdims=True))
+        return NerfOutputs(rgb=rgb, embed=embed, depth=depth, weights=weights)
+
+    # -------------------------------------------------------------- forward
+    def render_rays(self, voxel_feat, rays, key, training: bool = True):
+        """Coarse + fine pass over [R, 8] rays for one sample → (coarse, fine)
+        NerfOutputs with R leading (forward_nerf, :313-350)."""
+        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+        z_coarse = self._sample_coarse(rays, k1)
+        coarse = self._composite(voxel_feat, rays, z_coarse, k4, training)
+
+        samps = [z_coarse]
+        if self.n_fine - self.n_fine_depth > 0:
+            samps.append(self._sample_fine(rays, coarse.weights, k2))
+        if self.n_fine_depth > 0:
+            samps.append(self._sample_fine_depth(rays, coarse.depth, k3))
+        z_all = jnp.sort(jnp.concatenate(samps, -1), axis=-1)
+        fine = self._composite(voxel_feat, rays, z_all, k5, training)
+        return coarse, fine
+
+    def __call__(self, voxel_feat, gt_rgb, gt_pose, gt_intrinsic, gt_embed,
+                 key, training: bool = True):
+        """Training losses on a random ray chunk (compute_rendering_loss,
+        :410-466). All inputs batched [B, ...]; voxel_feat [B,V,V,V,C]."""
+        b = voxel_feat.shape[0]
+        hw = self.image_height * self.image_width
+
+        def one(vf, rgb_img, pose, intr, emb_img, k):
+            rays = gen_rays(pose, intr, self.image_width, self.image_height,
+                            self.z_near, self.z_far)
+            kidx, krender = jax.random.split(k)
+            idx = jax.random.randint(kidx, (self.ray_chunk_size,), 0, hw)
+            coarse, fine = self.render_rays(vf, rays[idx], krender, training)
+            gt_c = rgb_img.reshape(hw, 3)[idx]
+            gt_e = emb_img.reshape(hw, -1)[idx]
+            return coarse, fine, gt_c, gt_e
+
+        keys = jax.random.split(key, b)
+        coarse, fine, gt_c, gt_e = jax.vmap(one)(
+            voxel_feat, gt_rgb, gt_pose, gt_intrinsic, gt_embed, keys)
+
+        mse = lambda a, t: jnp.mean((a - t) ** 2)
+        l_rgb_c = self.lambda_rgb * mse(coarse.rgb, gt_c)
+        l_rgb_f = self.lambda_rgb * mse(fine.rgb, gt_c)
+        l_emb_c = self.lambda_embed * mse(coarse.embed, gt_e)
+        l_emb_f = self.lambda_embed * mse(fine.embed, gt_e)
+        loss = l_rgb_c + l_rgb_f + l_emb_c + l_emb_f
+        psnr = -10.0 * jnp.log10(jnp.maximum(mse(fine.rgb, gt_c), 1e-10))
+        return NerfLosses(loss=loss, loss_rgb_coarse=l_rgb_c,
+                          loss_rgb_fine=l_rgb_f, loss_embed_coarse=l_emb_c,
+                          loss_embed_fine=l_emb_f, psnr=psnr)
+
+    def render_image(self, voxel_feat, pose, intrinsic, key):
+        """Full-image render for visualization (rendering(), :352-408) —
+        single sample, chunked over rays with lax.map for bounded memory."""
+        rays = gen_rays(pose, intrinsic, self.image_width, self.image_height,
+                        self.z_near, self.z_far)
+        hw = rays.shape[0]
+        chunk = 4096
+        pad = (-hw) % chunk
+        rays_p = jnp.concatenate([rays, rays[:1].repeat(pad, 0)]) \
+            if pad else rays
+        rays_c = rays_p.reshape(-1, chunk, 8)
+
+        def body(rc):
+            _, fine = self.render_rays(voxel_feat, rc, key, training=False)
+            return fine.rgb, fine.depth
+
+        rgb, depth = jax.lax.map(body, rays_c)
+        rgb = rgb.reshape(-1, 3)[:hw].reshape(self.image_height,
+                                              self.image_width, 3)
+        depth = depth.reshape(-1)[:hw].reshape(self.image_height,
+                                               self.image_width)
+        return rgb, depth

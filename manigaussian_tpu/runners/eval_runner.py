@@ -203,9 +203,10 @@ def _eval_worker(payload):
     if platform:
         jax.config.update("jax_platforms", platform)
 
+    from manigaussian_tpu.agents.registry import create_agent
     from manigaussian_tpu.data.language import create_language_model
 
-    agent = ManiGaussianBCAgent(cfg)
+    agent = create_agent(cfg)
     lang = create_language_model(
         cfg.method.language_model,
         checkpoint_dir=cfg.method.language_model_checkpoint,

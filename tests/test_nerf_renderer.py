@@ -1,0 +1,156 @@
+"""GNFactor NeRF renderer (rendering/nerf_renderer.py) + registry wiring.
+
+Parity pins:
+  * trilinear_sample vs torch.nn.functional.grid_sample(align_corners=True)
+    — the reference's voxel sampling op (models_embed.py:244);
+  * compositing vs a numpy transcription of neural_rendering.py:238-258;
+  * ray geometry (center pixel goes through the optical axis);
+  * the full GNFACTOR_BC agent trains with finite losses and grads.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from manigaussian_tpu.rendering.nerf_renderer import (GNFactorNeRFRenderer,
+                                                      gen_rays,
+                                                      trilinear_sample)
+
+
+def test_trilinear_matches_torch_grid_sample():
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(0)
+    vol = rng.normal(size=(6, 5, 7, 4)).astype(np.float32)
+    uvw = rng.uniform(0.02, 0.98, size=(50, 3)).astype(np.float32)
+
+    ours = np.asarray(trilinear_sample(jnp.asarray(vol), jnp.asarray(uvw)))
+
+    # torch grid_sample: input [N, C, D, H, W]; grid coords are (x→W, y→H,
+    # z→D) in [-1, 1] — our uvw is (axis0, axis1, axis2) in [0, 1]
+    t_vol = torch.from_numpy(vol).permute(3, 0, 1, 2)[None]
+    grid = torch.from_numpy(uvw[:, ::-1].copy() * 2.0 - 1.0)[None, None, None]
+    t_out = F.grid_sample(t_vol, grid, align_corners=True, mode="bilinear")
+    t_out = t_out[0, :, 0, 0].permute(1, 0).numpy()
+    np.testing.assert_allclose(ours, t_out, atol=1e-5, rtol=1e-5)
+
+
+def test_trilinear_clamps_out_of_range():
+    vol = jnp.arange(2 * 2 * 2 * 1, dtype=jnp.float32).reshape(2, 2, 2, 1)
+    inside = trilinear_sample(vol, jnp.array([[0.0, 0.0, 0.0],
+                                              [1.0, 1.0, 1.0]]))
+    np.testing.assert_allclose(np.asarray(inside)[:, 0], [0.0, 7.0], atol=1e-6)
+    out = trilinear_sample(vol, jnp.array([[-3.0, 0.5, 0.5], [5.0, 0.5, 0.5]]))
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_gen_rays_geometry():
+    intr = jnp.array([[32.0, 0, 16.0], [0, 32.0, 16.0], [0, 0, 1.0]])
+    c2w = jnp.eye(4).at[:3, 3].set(jnp.array([0.1, 0.2, 0.3]))
+    rays = gen_rays(c2w, intr, 32, 32, 0.1, 4.0)
+    assert rays.shape == (1024, 8)
+    np.testing.assert_allclose(np.asarray(rays[:, :3]),
+                               np.tile([0.1, 0.2, 0.3], (1024, 1)), atol=1e-6)
+    # center-ish pixel (16, 16) points straight down +z; unit norm everywhere
+    center = np.asarray(rays[16 * 32 + 16, 3:6])
+    np.testing.assert_allclose(center, [0, 0, 1], atol=1e-6)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(rays[:, 3:6]), axis=1),
+                               1.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rays[:, 6]), 0.1)
+    np.testing.assert_allclose(np.asarray(rays[:, 7]), 4.0)
+
+
+def _tiny_renderer(**kw):
+    args = dict(coordinate_bounds=(-1.0, -1.0, -1.0, 1.0, 1.0, 1.0),
+                image_width=8, image_height=8, z_near=0.1, z_far=2.0,
+                n_coarse=8, n_fine=4, n_fine_depth=2, ray_chunk_size=16,
+                d_latent=4, d_embed=3, d_hidden=16, n_blocks=2,
+                combine_layer=1)
+    args.update(kw)
+    return GNFactorNeRFRenderer(**args)
+
+
+def test_composite_matches_numpy_reference():
+    """Alpha compositing math pinned to a numpy transcription of
+    neural_rendering.py:238-258."""
+    r = _tiny_renderer()
+    vf = jnp.zeros((4, 4, 4, 4))
+    rays = gen_rays(jnp.eye(4), jnp.array([[8.0, 0, 4.0], [0, 8.0, 4.0],
+                                           [0, 0, 1.0]]), 8, 8, 0.1, 2.0)[:5]
+    params = r.init(jax.random.PRNGKey(0), vf[None],
+                    jnp.zeros((1, 8, 8, 3)), jnp.eye(4)[None],
+                    jnp.array([[[8.0, 0, 4.0], [0, 8.0, 4.0], [0, 0, 1.0]]]),
+                    jnp.zeros((1, 8, 8, 3)), jax.random.PRNGKey(1))
+    z = jnp.linspace(0.2, 1.8, r.n_coarse)[None].repeat(5, 0)
+    out = r.apply(params, vf, rays, z, jax.random.PRNGKey(2), False,
+                  method=r._composite)
+
+    # numpy reference using the SAME mlp outputs: recover them via the nerf
+    # submodule directly
+    pts = (rays[:, None, :3] + z[..., None] * rays[:, None, 3:6]).reshape(-1, 3)
+    dirs = jnp.broadcast_to(rays[:, None, 3:6], (5, r.n_coarse, 3)).reshape(-1, 3)
+    raw = r.apply(params, vf, pts, dirs,
+                  method=lambda m, v, p, d: m.nerf(v, p, d))
+    raw = np.asarray(raw).reshape(5, r.n_coarse, -1)
+    zs = np.asarray(z)
+    deltas = np.concatenate([zs[:, 1:] - zs[:, :-1],
+                             2.0 - zs[:, -1:]], -1)
+    sigmas = np.maximum(raw[..., 3], 0.0)
+    alphas = 1 - np.exp(-deltas * sigmas)
+    shifted = np.concatenate([np.ones((5, 1)), 1 - alphas + 1e-10], -1)
+    T = np.cumprod(shifted, -1)
+    weights = alphas * T[:, :-1]
+    rgb = (weights[..., None] * raw[..., :3]).sum(-2)
+    np.testing.assert_allclose(np.asarray(out.rgb), rgb, atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.weights), weights, atol=1e-5,
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.depth),
+                               (weights * zs).sum(-1), atol=1e-5, rtol=1e-4)
+
+
+def test_importance_sampling_concentrates():
+    r = _tiny_renderer(n_coarse=16)
+    rays = jnp.array([[0, 0, 0, 0, 0, 1, 0.0, 1.0]], jnp.float32)
+    # weights peaked at bin 10 of 16
+    w = jnp.zeros((1, 16)).at[0, 10].set(100.0)
+    z = r.apply({}, rays, w, jax.random.PRNGKey(0), method=r._sample_fine)
+    z = np.asarray(z)[0]
+    # bin 10 of 16 on [0,1] covers [0.625, 0.6875]
+    assert (np.abs(z - 0.656) < 0.08).mean() > 0.9, z
+
+
+def test_gnfactor_agent_trains_and_renders():
+    from tests.test_agent import make_batch, tiny_config
+    from manigaussian_tpu.agents.registry import create_agent
+
+    cfg = tiny_config()
+    nr = dataclasses.replace(cfg.method.neural_renderer, n_coarse=8, n_fine=4,
+                             n_fine_depth=2, ray_chunk_size=32, d_embed=3)
+    cfg = dataclasses.replace(cfg, method=dataclasses.replace(
+        cfg.method, name="GNFACTOR_BC", neural_renderer=nr))
+    agent = create_agent(cfg)
+    assert agent.cfg.method.neural_renderer.renderer_type == "nerf"
+    assert not agent.cfg.method.neural_renderer.use_dynamic_field
+
+    batch = make_batch(jax.random.PRNGKey(0))
+    batch["gt_embed"] = jnp.full(batch["nerf_target_rgb"].shape[:3] + (3,), 0.1)
+    state = agent.init_state(jax.random.PRNGKey(1), batch, training=True)
+    upd = jax.jit(agent.update)
+    first = None
+    for i in range(3):
+        state, metrics = upd(state, batch, jax.random.PRNGKey(2 + i))
+        if first is None:
+            first = metrics
+    for k in ("rgb_loss", "embed_loss", "total_loss", "psnr"):
+        assert np.isfinite(float(metrics[k])), k
+    assert float(metrics["dyna_loss"]) == 0.0
+    for path, leaf in jax.tree_util.tree_leaves_with_path(state.params):
+        assert bool(jnp.isfinite(leaf).all()), jax.tree_util.keystr(path)
+
+    res = agent.render_for_vis(state.params, batch)
+    img = np.asarray(res.render_novel)
+    assert img.shape == (1, 32, 32, 3) and np.isfinite(img).all()

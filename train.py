@@ -95,7 +95,7 @@ def main(argv=None):
             import jax
             cfg.replay.path = f"{cfg.replay.path}_p{jax.process_index()}"
 
-    from manigaussian_tpu.agents.bc_agent import ManiGaussianBCAgent
+    from manigaussian_tpu.agents.registry import create_agent
     from manigaussian_tpu.data.language import create_language_model
     from manigaussian_tpu.data.pipeline import BatchIterator, fill_replay
     from manigaussian_tpu.data.replay import TaskUniformReplay
@@ -150,7 +150,7 @@ def main(argv=None):
                              "use one sharding axis per run")
         from manigaussian_tpu.parallel.mesh import make_mesh
         tile_mesh = make_mesh((args.mesh_tile,), ("tile",))
-    agent = ManiGaussianBCAgent(cfg, tile_mesh=tile_mesh)
+    agent = create_agent(cfg, tile_mesh=tile_mesh)
     mesh = None
     if args.mesh:
         from manigaussian_tpu.parallel.mesh import make_mesh
