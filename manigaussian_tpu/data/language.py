@@ -144,18 +144,17 @@ class ClipLanguageModel:
 
 
 class T5LanguageModel:
-    """T5 encoder from a LOCAL checkpoint (helpers/language_model.py:15-33
-    offers T5 as the alternative to CLIP; 768-d tokens are projected into the
-    77×512 slot with a fixed random projection so downstream shapes match)."""
+    """T5 encoder from a LOCAL checkpoint — reference-exact semantics
+    (helpers/language_model.py:14-32 T5EmbeddingExtractor): the sentence
+    embedding is ZEROS [1024] (the reference returns torch.zeros(1, 1024))
+    and the token embeddings are the RAW T5 last_hidden_state padded to 77
+    tokens — no projection. Set method.language_model_dim to the checkpoint's
+    d_model (768 for t5-base) when using this provider."""
 
     def __init__(self, checkpoint_dir: str):
         from transformers import T5EncoderModel, T5TokenizerFast
         self.tokenizer = T5TokenizerFast.from_pretrained(checkpoint_dir)
         self.model = T5EncoderModel.from_pretrained(checkpoint_dir).eval()
-        rng = np.random.default_rng(0)
-        d = self.model.config.d_model
-        self._proj = (rng.standard_normal((d, TOKEN_DIM))
-                      / np.sqrt(d)).astype(np.float32)
 
     def encode(self, text: str):
         import torch
@@ -164,12 +163,12 @@ class T5LanguageModel:
                                   max_length=MAX_TOKENS, truncation=True,
                                   return_tensors="pt")
             hidden = self.model(**toks).last_hidden_state[0].float().numpy()
-        token_embs = hidden @ self._proj
-        sent = hidden.mean(0)
-        if sent.shape[0] < SENTENCE_DIM:
-            sent = np.concatenate(
-                [sent, np.zeros(SENTENCE_DIM - sent.shape[0], np.float32)])
-        return sent[:SENTENCE_DIM].astype(np.float32), token_embs
+        if hidden.shape[0] < MAX_TOKENS:
+            hidden = np.concatenate(
+                [hidden, np.zeros((MAX_TOKENS - hidden.shape[0],
+                                   hidden.shape[1]), np.float32)], axis=0)
+        sent = np.zeros(SENTENCE_DIM, np.float32)
+        return sent, hidden[:MAX_TOKENS].astype(np.float32)
 
 
 class CachedLanguageModel:

@@ -133,9 +133,14 @@ class OfflineTrainRunner:
                         pred_rgb=np.asarray(res.render_novel)[0],
                         pred_embed=(np.asarray(res.render_embed)[0]
                                     if res.render_embed is not None else None),
+                        gt_embed=(np.asarray(dev_batch["gt_embed"])[0]
+                                  if "gt_embed" in dev_batch else None),
                         next_pred_rgb=(np.asarray(res.next_render_novel)[0]
                                        if res.next_render_novel is not None
-                                       else None))
+                                       else None),
+                        next_gt_rgb=(
+                            np.asarray(dev_batch["nerf_next_target_rgb"])[0]
+                            if "nerf_next_target_rgb" in dev_batch else None))
                 except Exception as e:  # visualization must never kill training
                     print(f"[train] recon panel failed at {i}: {e}")
 

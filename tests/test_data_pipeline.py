@@ -143,3 +143,43 @@ def test_sharded_replay_disjoint(dataset):
     i1 = set(r1._indices("open_drawer"))
     assert i0.isdisjoint(i1)
     assert len(i0) + len(i1) == base.size("open_drawer")
+
+
+def test_t5_language_model_reference_semantics():
+    """T5 provider parity (reference helpers/language_model.py:14-32
+    T5EmbeddingExtractor): ZERO sentence embedding [1024] and the RAW T5
+    encoder last_hidden_state padded to 77 tokens — no projection. Built on a
+    tiny in-memory T5 (the loading path is plain transformers
+    from_pretrained; a sentencepiece model cannot be fabricated offline)."""
+    import torch
+    from transformers import T5Config, T5EncoderModel
+
+    from manigaussian_tpu.data.language import (MAX_TOKENS, SENTENCE_DIM,
+                                                T5LanguageModel)
+
+    torch.manual_seed(0)
+    config = T5Config(vocab_size=64, d_model=16, d_kv=4, d_ff=32,
+                      num_layers=2, num_heads=2)
+    model = T5EncoderModel(config).eval()
+
+    class StubTok:
+        def __call__(self, text, padding=None, max_length=None,
+                     truncation=None, return_tensors=None):
+            ids = [(hash(w) % 60) + 1 for w in text.split()][:max_length]
+            ids = ids + [0] * (max_length - len(ids))
+            return {"input_ids": torch.tensor([ids]),
+                    "attention_mask": torch.tensor(
+                        [[1 if i else 0 for i in ids]])}
+
+    lm = T5LanguageModel.__new__(T5LanguageModel)
+    lm.tokenizer = StubTok()
+    lm.model = model
+
+    sent, toks = lm.encode("open the drawer")
+    assert sent.shape == (SENTENCE_DIM,) and not sent.any()
+    assert toks.shape == (MAX_TOKENS, 16)
+    # raw hidden states, not a projection: recompute directly
+    with torch.no_grad():
+        ids = lm.tokenizer("open the drawer", max_length=MAX_TOKENS)
+        want = model(**ids).last_hidden_state[0].numpy()
+    np.testing.assert_allclose(toks, want, atol=1e-6)
