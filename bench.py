@@ -47,9 +47,12 @@ def make_camera(size):
 def main():
     n, size = 65536, 128
     camera = make_camera(size)
+    # chunk=512 measured best on v5e (sweep: 128/256/512/1024 -> 59/66/68/65
+    # renders/s); capacities cover the 65k-gaussian workload (524 of 2.1M
+    # binned splats overflow at K=8192 -- reported, not silent)
     cfg = RasterizeConfig(width=size, height=size, tile=16,
                           max_tiles_per_gaussian=16, tile_capacity=8192,
-                          chunk=256, sh_degree=1)
+                          chunk=512, sh_degree=1)
     scene = make_scene(jax.random.PRNGKey(0), n)
     tgt = jax.random.uniform(jax.random.PRNGKey(1), (size, size, 3))
 

@@ -29,7 +29,10 @@ def main(argv=None):
     parser.add_argument("--config", default=None, help="optional YAML config")
     parser.add_argument("--demo-root", required=True)
     parser.add_argument("--logdir", default="logs/run")
-    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--seed", type=int, default=0,
+                        help="start seed; cfg.framework.seeds consecutive "
+                             "seeds run SEQUENTIALLY (reference "
+                             "train.py:86-88), each in <logdir>/seed<i>")
     parser.add_argument("--mesh", type=int, default=0,
                         help="shard batches over this many devices (0 = single)")
     parser.add_argument("--mesh-tile", type=int, default=0,
@@ -63,15 +66,32 @@ def main(argv=None):
     from manigaussian_tpu.utils.config_io import load_config, save_config
     cfg = load_config(args.config, args.overrides, variant=args.variant)
 
-    random.seed(args.seed)
-    np.random.seed(args.seed)
+    # run train jobs with multiple seeds, sequentially (train.py:86-88)
+    for seed in range(args.seed, args.seed + max(1, cfg.framework.seeds)):
+        _run_seed(args, cfg, seed)
+
+
+def _run_seed(args, cfg, seed):
+    from manigaussian_tpu.utils.config_io import save_config
+
+    random.seed(seed)
+    np.random.seed(seed)
 
     is_main = True
     if args.dist:
         import jax
         is_main = jax.process_index() == 0
 
-    logdir = os.path.join(args.logdir, f"seed{args.seed}")
+    logdir = os.path.join(args.logdir, f"seed{seed}")
+
+    # already-trained early exit (reference train.py:78-84)
+    weights_dir = os.path.join(logdir, "weights")
+    if os.path.isdir(weights_dir):
+        done = sorted(int(w) for w in os.listdir(weights_dir) if w.isdigit())
+        if done and done[-1] >= cfg.framework.training_iterations - 1:
+            print(f"[train] seed {seed} already trained to {done[-1]} "
+                  "iterations; skipping.")
+            return
     os.makedirs(logdir, exist_ok=True)
     if is_main:
         save_config(cfg, logdir)
@@ -138,7 +158,7 @@ def main(argv=None):
             d_embed=cfg.method.neural_renderer.d_embed))
 
     batches = BatchIterator(
-        replay, cfg.replay.batch_size, seed=args.seed,
+        replay, cfg.replay.batch_size, seed=seed,
         num_view_for_nerf=cfg.method.num_view_for_nerf,
         load_nerf_targets=cfg.method.use_neural_rendering,
         embed_fn=embed_fn)
@@ -157,7 +177,7 @@ def main(argv=None):
         mesh = make_mesh((args.mesh,), ("data",))
 
     runner = OfflineTrainRunner(agent, batches, logdir, cfg, mesh=mesh,
-                                seed=args.seed)
+                                seed=seed)
     runner.start()
     batches.close()
 
