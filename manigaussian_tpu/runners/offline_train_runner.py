@@ -31,12 +31,16 @@ from manigaussian_tpu.utils.logger import MetricLogger
 
 
 def _to_device_batch(batch, mesh=None):
-    out = {k: jnp.asarray(v) for k, v in batch.items()
+    out = {k: v for k, v in batch.items()
            if isinstance(v, np.ndarray) and v.dtype != object}
     if mesh is not None:
         from manigaussian_tpu.parallel.mesh import shard_batch
-        out = shard_batch(out, mesh)
-    return out
+        return shard_batch(out, mesh)
+    # ONE device_put for the whole pytree: per-key jnp.asarray issued ~20
+    # synchronous H2D dispatches per step — behind the axon tunnel each
+    # round-trip costs ~ms and the realized training rate dropped to 2.5
+    # steps/s vs the 3.8 steps/s the compiled step sustains
+    return jax.device_put(out)
 
 
 class OfflineTrainRunner:
@@ -90,7 +94,9 @@ class OfflineTrainRunner:
             state = replicate_state(state, self.mesh)
             update = make_sharded_update(self.agent, self.mesh)
         else:
-            update = self.agent.jit_update(donate=False)
+            # donate: the previous TrainState buffers are dead after each
+            # update — donation avoids a full param+opt-state copy per step
+            update = self.agent.jit_update(donate=True)
 
         key = jax.random.PRNGKey(self.seed + 1)
         t_last = time.perf_counter()
