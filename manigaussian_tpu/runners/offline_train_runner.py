@@ -100,7 +100,6 @@ class OfflineTrainRunner:
 
         key = jax.random.PRNGKey(self.seed + 1)
         t_last = time.perf_counter()
-        pending_metrics = None
 
         for i in range(start_iter, total_iters):
             key, sub = jax.random.split(key)

@@ -105,3 +105,42 @@ def test_train_cli_end_to_end(tmp_path):
     eval_mod.main(["--logdir", seed_dir, "--demo-root", demo_root,
                    "--env", "mock", "--eval-type", "last", "--episodes", "1"])
     assert os.path.exists(os.path.join(seed_dir, "eval_data.csv"))
+
+
+def test_train_cli_multi_seed_sequential(tmp_path):
+    """framework.seeds=2 runs both seeds sequentially (reference
+    train.py:86-88) and the already-trained early exit (train.py:78-84)
+    skips completed seeds on re-run."""
+    import train as train_mod
+    demo_root = str(tmp_path / "demos")
+    logdir = str(tmp_path / "logs")
+    args = [
+        "--variant", "w_geo", "--demo-root", demo_root,
+        "--logdir", logdir, "--synthetic",
+        "rlbench.tasks=[open_drawer]",
+        "rlbench.demos=1",
+        "rlbench.camera_resolution=[16,16]",
+        "method.voxel_sizes=[20]",
+        "method.num_latents=16",
+        "method.latent_dim=32",
+        "method.transformer_depth=1",
+        "method.cross_dim_head=8",
+        "method.latent_dim_head=8",
+        "method.final_dim=16",
+        "method.use_neural_rendering=false",
+        f"replay.path={tmp_path / 'replay'}",
+        "framework.seeds=2",
+        "framework.training_iterations=2",
+        "framework.save_freq=2",
+        "framework.log_freq=1",
+    ]
+    train_mod.main(args)
+    from manigaussian_tpu.utils.checkpoint import list_checkpoints
+    for seed in (0, 1):
+        sd = os.path.join(logdir, f"seed{seed}")
+        assert os.path.exists(os.path.join(sd, "train_data.csv")), sd
+        assert list_checkpoints(sd), sd
+    # re-run: both seeds skip (no crash, no new iterations)
+    csv0 = open(os.path.join(logdir, "seed0", "train_data.csv")).read()
+    train_mod.main(args)
+    assert open(os.path.join(logdir, "seed0", "train_data.csv")).read() == csv0
