@@ -28,9 +28,12 @@ def test_knn_jit():
 
 
 def test_recon_panel_written(tmp_path):
+    """Full 7-panel figure (input/gt/pred/embed/gt_embed/next_pred/next_gt —
+    qattention:956-1010 parity, the exact set the train runner passes)."""
     img = np.random.RandomState(0).rand(8, 8, 3).astype(np.float32)
     path = save_recon_panel(str(tmp_path), 100, input_rgb=img, gt_rgb=img,
                             pred_rgb=img, pred_embed=img * 10 - 5,
+                            gt_embed=img * 4 - 2,
                             next_pred_rgb=img, next_gt_rgb=img)
     assert os.path.exists(path)
     assert path.endswith("recon/100.png")
