@@ -52,6 +52,15 @@ class RasterizeConfig(NamedTuple):
     chunk: int = 256                   # splats blended per scan step
     sh_degree: int = 1
     backend: str = "pallas"            # "pallas" (TPU kernel) | "xla" (lax.scan)
+    # Two-level duplication (0 = off): most gaussians touch few tiles, so the
+    # sorted duplicate list is ~85% invalid padding at r_cap=16. With
+    # small_rect_cap=s > 0, every gaussian gets s slots and only the first
+    # big_table_cap gaussians with rects larger than s get full r_cap rows in
+    # a compacted side table — shrinking the sort from N·r_cap to
+    # N·s + big_table_cap·r_cap entries. Gaussians past the big-table
+    # capacity degrade gracefully to s slots (counted in overflow_gaussians).
+    small_rect_cap: int = 0
+    big_table_cap: int = 8192
 
 
 class RasterizeExtras(NamedTuple):
@@ -93,6 +102,10 @@ def _build_keys(pre: gm.ProjectedGaussians, cfg: RasterizeConfig):
     gidx = jax.lax.broadcasted_iota(jnp.int32, (n, r_cap), 0)
     rank_b = jnp.broadcast_to(ranks[:, None], (n, r_cap))
 
+    if cfg.small_rect_cap and cfg.small_rect_cap < r_cap:
+        tile_id, gidx, rank_b = _two_level_dup(
+            pre, cfg, tile_id, ranks, num_tiles)
+
     # Fuse (tile, depth_rank) into ONE int32 key when it fits (the CUDA code
     # fuses [tile|depth] into a single 64-bit radix key the same way,
     # rasterizer_impl.cu:70-85): a 1-key + 1-payload sort moves 2/3 the bytes
@@ -111,9 +124,62 @@ def _build_keys(pre: gm.ProjectedGaussians, cfg: RasterizeConfig):
             num_keys=2, is_stable=True)
         sorted_tile = (st, 0)
 
-    overflow_gaussians = jnp.sum(
-        jnp.maximum(pre.tiles_touched - r_cap, 0)).astype(jnp.int32)
+    if cfg.small_rect_cap and cfg.small_rect_cap < r_cap:
+        # tabled gaussians truncate at r_cap; untabled big ones at small_rect_cap
+        is_big = pre.tiles_touched > cfg.small_rect_cap
+        n_big = jnp.sum(is_big.astype(jnp.int32))
+        # the first big_table_cap big gaussians (by index) are tabled
+        big_rank_of = jnp.cumsum(is_big.astype(jnp.int32)) - 1
+        tabled = is_big & (big_rank_of < cfg.big_table_cap)
+        cap_per = jnp.where(tabled, r_cap,
+                            jnp.where(is_big, cfg.small_rect_cap, r_cap))
+        overflow_gaussians = jnp.sum(
+            jnp.maximum(pre.tiles_touched - cap_per, 0)).astype(jnp.int32)
+        del n_big
+    else:
+        overflow_gaussians = jnp.sum(
+            jnp.maximum(pre.tiles_touched - r_cap, 0)).astype(jnp.int32)
     return sorted_tile, sorted_gidx, overflow_gaussians, num_tiles
+
+
+def _two_level_dup(pre, cfg, tile_id_full, ranks, num_tiles):
+    """Shrink the duplicate list: s slots per gaussian + a compacted big table.
+
+    Returns (tile_id [*, ·], gidx, rank) flattened-compatible arrays whose
+    VALID entries are exactly the valid entries of the full [N, r_cap] table
+    (identical splat set ⇒ identical render), provided at most big_table_cap
+    gaussians touch more than small_rect_cap tiles — the excess ones keep
+    their first small_rect_cap slots and the dropped rect slots are already
+    counted by overflow_gaussians' caller via tiles_touched clamping below.
+    """
+    n = ranks.shape[0]
+    s_cap, m_cap = cfg.small_rect_cap, cfg.big_table_cap
+    r_cap = cfg.max_tiles_per_gaussian
+
+    is_big = pre.tiles_touched > s_cap
+    # stable order: first m_cap big gaussians (by index) get big-table rows
+    big_order = jnp.argsort(~is_big, stable=True)          # big first
+    big_rank = jnp.zeros((n,), jnp.int32).at[big_order].set(
+        jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1))
+    in_table = is_big & (big_rank < m_cap)
+
+    # small level: every gaussian's first s_cap slots, minus tabled gaussians
+    small_tile = jnp.where(in_table[:, None], num_tiles,
+                           tile_id_full[:, :s_cap])
+    small_gidx = jax.lax.broadcasted_iota(jnp.int32, (n, s_cap), 0)
+    small_rank = jnp.broadcast_to(ranks[:, None], (n, s_cap))
+
+    # big level: compacted rows carry the tabled gaussians' FULL r_cap slots
+    big_ids = big_order[:m_cap]                             # [M]
+    row_valid = in_table[big_ids]
+    big_tile = jnp.where(row_valid[:, None], tile_id_full[big_ids], num_tiles)
+    big_gidx = jnp.broadcast_to(big_ids[:, None], (m_cap, r_cap))
+    big_rank_b = jnp.broadcast_to(ranks[big_ids][:, None], (m_cap, r_cap))
+
+    tile_id = jnp.concatenate([small_tile.reshape(-1), big_tile.reshape(-1)])
+    gidx = jnp.concatenate([small_gidx.reshape(-1), big_gidx.reshape(-1)])
+    rank = jnp.concatenate([small_rank.reshape(-1), big_rank_b.reshape(-1)])
+    return tile_id, gidx, rank
 
 
 def _tile_gather(sorted_tile, sorted_gidx, num_tiles, k_cap):

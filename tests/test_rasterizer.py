@@ -272,3 +272,48 @@ def test_jit_and_vmap_compatible():
     img = render(scene["means3d"])
     assert img.shape == (32, 32, 3)
     assert np.isfinite(np.asarray(img)).all()
+
+
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_two_level_duplication_matches_single_level(backend):
+    """small_rect_cap + big-table compaction (RasterizeConfig two-level
+    duplication) renders the IDENTICAL splat set when the big table covers
+    every large-rect gaussian — same image, same grads; with an undersized
+    table it degrades gracefully (overflow_gaussians counts the dropped
+    rect slots, output stays finite)."""
+    n = 256
+    scene = random_scene(jax.random.PRNGKey(11), n, spread=0.35)
+    scene["scales"] = scene["scales"].at[:12].set(0.22)   # big rects
+    c = make_camera(64, 64, focal=60.0)
+    base = rast.RasterizeConfig(width=64, height=64, tile=16,
+                                max_tiles_per_gaussian=16, tile_capacity=512,
+                                chunk=64, sh_degree=1, backend=backend)
+    two = base._replace(small_rect_cap=4, big_table_cap=64)
+
+    def loss(cfg, means, scales):
+        out, ex = rast.rasterize(means, scene["opacities"], c, cfg, BG,
+                                 scales=scales, rotations=scene["rotations"],
+                                 shs=scene["shs"],
+                                 language_features=scene["language_features"])
+        return jnp.sum(out.color ** 2) + jnp.sum(out.final_t), (out, ex)
+
+    (l1, (o1, e1)), g1 = jax.value_and_grad(
+        lambda m, s: loss(base, m, s), argnums=(0, 1), has_aux=True)(
+        scene["means3d"], scene["scales"])
+    (l2, (o2, e2)), g2 = jax.value_and_grad(
+        lambda m, s: loss(two, m, s), argnums=(0, 1), has_aux=True)(
+        scene["means3d"], scene["scales"])
+    assert int(e1.overflow_gaussians) == 0
+    assert int(e2.overflow_gaussians) == 0
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    assert_mostly_close(o1.color, o2.color, atol=1e-5, rtol=1e-4)
+    for a, b in zip(g1, g2):
+        assert_mostly_close(a, b, atol=1e-4, rtol=1e-3, max_frac=0.02)
+
+    tiny = base._replace(small_rect_cap=4, big_table_cap=2)
+    out3, e3 = rast.rasterize(scene["means3d"], scene["opacities"], c, tiny,
+                              BG, scales=scene["scales"],
+                              rotations=scene["rotations"], shs=scene["shs"],
+                              language_features=scene["language_features"])
+    assert int(e3.overflow_gaussians) > 0
+    assert bool(jnp.isfinite(out3.color).all())
