@@ -179,9 +179,13 @@ def make_state_skeleton(cfg):
         "nerf_next_target_intrinsic": jnp.tile(eye_intr, (1, 1, 1)),
         "action": jnp.zeros((1, 8)),
     }
+    # through the registry: GNFACTOR_BC checkpoints carry the NeRF renderer
+    # parameter tree, not the splat one — building ManiGaussianBCAgent
+    # directly would restore against the wrong skeleton
+    from manigaussian_tpu.agents.registry import create_agent
     train_cfg = dataclasses.replace(
         cfg, method=dataclasses.replace(cfg.method, use_neural_rendering=True))
-    return jax.device_get(ManiGaussianBCAgent(train_cfg).init_state(
+    return jax.device_get(create_agent(train_cfg).init_state(
         jax.random.PRNGKey(0), dummy, training=True, lazy=True))
 
 

@@ -135,3 +135,22 @@ def test_run_eval_parallel_two_workers(renderer_on_setup):
     assert [int(r["step"]) for r in csv_rows] == [100, 200]
     assert all("eval_envs/return" in r for r in rows)
     assert all(np.isfinite(r["eval_envs/return"]) for r in rows)
+
+
+def test_state_skeleton_respects_method_registry():
+    """GNFACTOR_BC checkpoints carry the NeRF renderer tree — the restore
+    skeleton must come from the registry, not a hardcoded splat agent."""
+    import dataclasses
+
+    from manigaussian_tpu.runners.eval_runner import make_state_skeleton
+
+    cfg = tiny_config()
+    nr = dataclasses.replace(cfg.method.neural_renderer, n_coarse=4, n_fine=2,
+                             n_fine_depth=1, ray_chunk_size=8, d_embed=3)
+    gcfg = dataclasses.replace(cfg, method=dataclasses.replace(
+        cfg.method, name="GNFACTOR_BC", neural_renderer=nr))
+    skel = make_state_skeleton(gcfg)
+    flat = {"/".join(str(k) for k in p): None for p, _ in
+            jax.tree_util.tree_leaves_with_path(skel.params)}
+    assert any("nerf" in k for k in flat), sorted(flat)[:5]
+    assert not any("gs_model" in k or "gaussian" in k.lower() for k in flat)
