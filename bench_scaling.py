@@ -100,10 +100,10 @@ def main(argv=None):
             mesh = make_mesh((d,), ("tile",))
 
             def loss(m, mesh=mesh):
-                out = rasterize_sharded(mesh, m, opacities, camera, cfg,
-                                        (0., 0., 0.), scales=scales,
-                                        rotations=rotations, shs=shs,
-                                        language_features=lang)
+                out, _ = rasterize_sharded(mesh, m, opacities, camera, cfg,
+                                           (0., 0., 0.), scales=scales,
+                                           rotations=rotations, shs=shs,
+                                           language_features=lang)
                 return jnp.sum((out.color - tgt) ** 2)
 
         step = jax.jit(jax.grad(loss))

@@ -26,6 +26,9 @@ def main(argv=None):
     parser.add_argument("--eval-type", default="last",
                         help="missing | best | last | <int checkpoint>")
     parser.add_argument("--episodes", type=int, default=25)
+    parser.add_argument("--episode-length", type=int, default=25,
+                        help="max steps per rollout (reference conf/eval.yaml"
+                             ":9 uses 25; training config default is 15)")
     parser.add_argument("--workers", type=int, default=1,
                         help="evaluate checkpoints in this many parallel "
                              "subprocesses (reference eval.py:154-172)")
@@ -44,9 +47,13 @@ def main(argv=None):
     cfg = load_saved_config(args.logdir)
     if args.overrides:
         cfg = from_dict(parse_overrides(args.overrides), cfg)
-    # eval suppresses neural rendering (eval.py:55-57)
+    # eval suppresses neural rendering (eval.py:55-57); eval rollouts use the
+    # eval-config episode_length (25), not the training one (15)
     cfg = dataclasses.replace(
-        cfg, method=dataclasses.replace(cfg.method, use_neural_rendering=False))
+        cfg,
+        method=dataclasses.replace(cfg.method, use_neural_rendering=False),
+        rlbench=dataclasses.replace(cfg.rlbench,
+                                    episode_length=args.episode_length))
 
     eval_type = (int(args.eval_type) if args.eval_type.isdigit()
                  else args.eval_type)

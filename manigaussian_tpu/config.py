@@ -160,13 +160,23 @@ class MethodConfig:
     neural_renderer: NeuralRendererConfig = field(default_factory=NeuralRendererConfig)
 
 
+# The paper's 10-task RLBench suite (reference conf/config.yaml:9).
+PAPER_TASKS: Tuple[str, ...] = (
+    "close_jar", "open_drawer", "sweep_to_dustpan_of_size", "meat_off_grill",
+    "turn_tap", "slide_block_to_color_target", "put_item_in_drawer",
+    "reach_and_drag", "push_buttons", "stack_blocks")
+
+
 @dataclass(frozen=True)
 class RLBenchConfig:
     """cfg.rlbench (conf/config.yaml)."""
-    tasks: Tuple[str, ...] = ("open_drawer",)
+    task_name: str = "multi"
+    tasks: Tuple[str, ...] = PAPER_TASKS
     demos: int = 20
     demo_path: str = ""
-    episode_length: int = 25
+    # Training episode_length (reference conf/config.yaml:15); eval uses 25
+    # (conf/eval.yaml:9), passed via eval.py --episode-length.
+    episode_length: int = 15
     cameras: Tuple[str, ...] = ("front",)
     camera_resolution: Tuple[int, int] = (128, 128)
     scene_bounds: Tuple[float, ...] = (-0.3, -0.5, 0.6, 0.7, 0.5, 1.6)
@@ -197,7 +207,10 @@ class FrameworkConfig:
     csv_logging: bool = True
     training_iterations: int = 100010
     num_weights_to_keep: int = 60
-    load_existing_weights: bool = True
+    # Reference default False (conf/config.yaml:58): a fresh run does NOT
+    # auto-resume; set True (or train.py --resume) to pick up the latest
+    # checkpoint. Matches the reference's skip-already-trained guard.
+    load_existing_weights: bool = False
     num_workers: int = 0
     seeds: int = 1
     start_seed: int = 0
@@ -228,30 +241,37 @@ def _rep(cfg, **kw):
 
 
 def w_geo() -> ManiGaussianConfig:
-    """Tier 1 (scripts/train_and_eval_w_geo.sh): GS RGB loss only."""
-    return ManiGaussianConfig()
+    """Tier 1 (scripts/train_and_eval_w_geo.sh:44): GS RGB loss only."""
+    c = ManiGaussianConfig()
+    return _rep(c, method=_rep(c.method, neural_renderer=_rep(
+        c.method.neural_renderer, render_freq=2000)))
 
 
 def w_geo_dyna() -> ManiGaussianConfig:
-    """Tier 2: + deformation/future-frame loss."""
+    """Tier 2 (scripts/train_and_eval_w_geo_dyna.sh:42,61-66): + deformation
+    loss; script sets lambda_dyna=0.1, lambda_embed=0.0."""
     c = ManiGaussianConfig()
     return _rep(c, method=_rep(c.method, neural_renderer=_rep(
-        c.method.neural_renderer, use_dynamic_field=True)))
+        c.method.neural_renderer, use_dynamic_field=True,
+        lambda_dyna=0.1, lambda_embed=0.0, render_freq=2000)))
 
 
 def w_geo_sem() -> ManiGaussianConfig:
-    """Tier 3: + semantic embedding channels (foundation features)."""
-    c = ManiGaussianConfig()
-    return _rep(c, method=_rep(c.method, neural_renderer=_rep(
-        c.method.neural_renderer, foundation_model_name="diffusion")))
-
-
-def w_geo_sem_dyna() -> ManiGaussianConfig:
-    """Tier 4 (full model, scripts/train_and_eval_w_geo_sem_dyna.sh:66-67)."""
+    """Tier 3 (scripts/train_and_eval_w_geo_sem.sh:43,61-63): + semantic
+    embedding channels (foundation features)."""
     c = ManiGaussianConfig()
     return _rep(c, method=_rep(c.method, neural_renderer=_rep(
         c.method.neural_renderer, foundation_model_name="diffusion",
-        use_dynamic_field=True)))
+        render_freq=2000)))
+
+
+def w_geo_sem_dyna() -> ManiGaussianConfig:
+    """Tier 4 (full model, scripts/train_and_eval_w_geo_sem_dyna.sh:41-44,
+    66-67): script sets lambda_dyna=0.1."""
+    c = ManiGaussianConfig()
+    return _rep(c, method=_rep(c.method, neural_renderer=_rep(
+        c.method.neural_renderer, foundation_model_name="diffusion",
+        use_dynamic_field=True, lambda_dyna=0.1, render_freq=2000)))
 
 
 VARIANTS = {

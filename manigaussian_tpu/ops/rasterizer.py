@@ -69,12 +69,19 @@ class RasterizeExtras(NamedTuple):
     tile_counts: jnp.ndarray         # [tiles] int32 splats binned per tile
 
 
-def _build_keys(pre: gm.ProjectedGaussians, cfg: RasterizeConfig):
+def _build_keys(pre: gm.ProjectedGaussians, cfg: RasterizeConfig,
+                tile_range=None):
     """Duplicate each Gaussian into its tile-rect slots and sort by (tile, depth).
 
     Replaces duplicateWithKeys + radix sort (rasterizer_impl.cu:70-111, 303-311).
     Returns (sorted_tile_ids [D], sorted_gaussian_idx [D]) with invalid entries
     carrying tile_id == num_tiles (sorted to the end).
+
+    `tile_range=(tile_lo, n_local)` restricts binning to the global-tile window
+    [tile_lo, tile_lo + n_local) and emits LOCAL ids in [0, n_local] — the
+    per-device path of the tile-sharded renderer (the cross-chip analog of cub
+    radix partitioning). tile_lo may be traced (lax.axis_index); n_local must
+    be static.
     """
     n = pre.depths.shape[0]
     tiles_x = (cfg.width + cfg.tile - 1) // cfg.tile
@@ -97,14 +104,22 @@ def _build_keys(pre: gm.ProjectedGaussians, cfg: RasterizeConfig):
     tile_y = pre.rect_min[:, 1:2] + dy
     in_rect = slot < pre.tiles_touched[:, None]
     dup_valid = in_rect & pre.valid[:, None]
-    tile_id = jnp.where(dup_valid, tile_y * tiles_x + tile_x, num_tiles)
+    tile_id_global = tile_y * tiles_x + tile_x
+    if tile_range is not None:
+        tile_lo, out_tiles = tile_range
+        local = tile_id_global - tile_lo
+        dup_valid = dup_valid & (local >= 0) & (local < out_tiles)
+        tile_id = jnp.where(dup_valid, local, out_tiles)
+    else:
+        out_tiles = num_tiles
+        tile_id = jnp.where(dup_valid, tile_id_global, num_tiles)
 
     gidx = jax.lax.broadcasted_iota(jnp.int32, (n, r_cap), 0)
     rank_b = jnp.broadcast_to(ranks[:, None], (n, r_cap))
 
     if cfg.small_rect_cap and cfg.small_rect_cap < r_cap:
         tile_id, gidx, rank_b = _two_level_dup(
-            pre, cfg, tile_id, ranks, num_tiles)
+            pre, cfg, tile_id, ranks, out_tiles)
 
     # Fuse (tile, depth_rank) into ONE int32 key when it fits (the CUDA code
     # fuses [tile|depth] into a single 64-bit radix key the same way,
@@ -113,7 +128,7 @@ def _build_keys(pre: gm.ProjectedGaussians, cfg: RasterizeConfig):
     # 4.04 -> ~2.7 ms at D = 1M on a real chip. Tile ranges are then found by
     # searchsorted directly on the fused keys.
     rank_bits = max(1, (n - 1).bit_length())
-    if ((num_tiles << rank_bits) | (n - 1)) < 2 ** 31:
+    if ((out_tiles << rank_bits) | (n - 1)) < 2 ** 31:
         key = (tile_id << rank_bits) | rank_b
         sorted_key, sorted_gidx = jax.lax.sort(
             (key.reshape(-1), gidx.reshape(-1)), num_keys=1, is_stable=False)
@@ -139,7 +154,7 @@ def _build_keys(pre: gm.ProjectedGaussians, cfg: RasterizeConfig):
     else:
         overflow_gaussians = jnp.sum(
             jnp.maximum(pre.tiles_touched - r_cap, 0)).astype(jnp.int32)
-    return sorted_tile, sorted_gidx, overflow_gaussians, num_tiles
+    return sorted_tile, sorted_gidx, overflow_gaussians, out_tiles
 
 
 def _two_level_dup(pre, cfg, tile_id_full, ranks, num_tiles):

@@ -44,8 +44,7 @@ class RenderLosses(NamedTuple):
     # capacity-truncation diagnostics (ops/rasterizer.py static-shape design):
     # splats dropped by tile_capacity / rect slots dropped by R_cap, summed
     # over the batch. Surfaced into train metrics so silent truncation is
-    # visible (VERDICT.md weak 5). Zero when the tile-sharded path (which
-    # does not report extras) renders.
+    # visible — on the single-chip AND the tile-sharded path (psum'd counters).
     overflow_splats: jnp.ndarray = 0
     overflow_gaussians: jnp.ndarray = 0
 
@@ -77,16 +76,15 @@ def _render_batch(params: dict, cameras, cfg: RasterizeConfig, bg_color,
         feat = feat / jnp.maximum(
             jnp.linalg.norm(feat, axis=-1, keepdims=True), 1e-6)
         if tile_mesh is not None:
-            out = rasterize_sharded(
+            out, extras = rasterize_sharded(
                 tile_mesh, xyz, opacity[..., 0], camera, cfg, bg_color,
                 scales=scale, rotations=rot, shs=sh, language_features=feat,
                 axis=tile_axis)
-            zero = jnp.zeros((), jnp.int32)
-            return out.color, out.language_feature, zero, zero
-        out, extras = rasterize(
-            means3d=xyz, opacities=opacity[..., 0], camera=camera, cfg=cfg,
-            bg_color=bg_color, scales=scale, rotations=rot, shs=sh,
-            language_features=feat)
+        else:
+            out, extras = rasterize(
+                means3d=xyz, opacities=opacity[..., 0], camera=camera, cfg=cfg,
+                bg_color=bg_color, scales=scale, rotations=rot, shs=sh,
+                language_features=feat)
         return (out.color, out.language_feature,
                 extras.overflow_splats, extras.overflow_gaussians)
 

@@ -163,18 +163,22 @@ def _run_seed(args, cfg, seed):
         load_nerf_targets=cfg.method.use_neural_rendering,
         embed_fn=embed_fn)
 
+    # Mesh layout: --mesh D shards the batch over a 'data' axis; --mesh-tile T
+    # shards the renderer's image tiles over a 'tile' axis inside the jitted
+    # step. Combined, ONE (D, T) mesh carries both: the batch is placed with
+    # P('data') and the rasterizer shard_maps manually over 'tile' only
+    # (axis_names), leaving 'data' to the auto partitioner.
     tile_mesh = None
-    if args.mesh_tile:
-        if args.mesh:
-            raise SystemExit("--mesh and --mesh-tile cannot combine yet; "
-                             "use one sharding axis per run")
-        from manigaussian_tpu.parallel.mesh import make_mesh
-        tile_mesh = make_mesh((args.mesh_tile,), ("tile",))
-    agent = create_agent(cfg, tile_mesh=tile_mesh)
     mesh = None
-    if args.mesh:
-        from manigaussian_tpu.parallel.mesh import make_mesh
+    from manigaussian_tpu.parallel.mesh import make_mesh
+    if args.mesh and args.mesh_tile:
+        mesh = make_mesh((args.mesh, args.mesh_tile), ("data", "tile"))
+        tile_mesh = mesh
+    elif args.mesh_tile:
+        tile_mesh = make_mesh((args.mesh_tile,), ("tile",))
+    elif args.mesh:
         mesh = make_mesh((args.mesh,), ("data",))
+    agent = create_agent(cfg, tile_mesh=tile_mesh)
 
     runner = OfflineTrainRunner(agent, batches, logdir, cfg, mesh=mesh,
                                 seed=seed)
