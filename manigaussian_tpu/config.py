@@ -126,6 +126,10 @@ class MethodConfig:
     # padding_mode='replicate', network_utils.py:133). Differs only at the
     # outermost voxel shell of the workspace volume.
     policy_pad_mode: str = "zero"
+    # Implementation of the two hot 100³ tail convs (`final`, up0 post-resize),
+    # zero-pad mode only: 'xla' (nn.Conv) | 'z2d' (3 batched 2D convs) |
+    # 'pallas' (ops/pallas_conv halo-tile MXU kernel). See blocks.Conv3DBlock.
+    policy_conv_impl: str = "xla"
     # training
     input_dropout: float = 0.1
     attn_dropout: float = 0.1

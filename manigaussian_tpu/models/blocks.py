@@ -59,6 +59,14 @@ class Conv3DBlock(nn.Module):
     backward lowers to boundary scatter-adds over the full 100³ volume and
     measured ~20 ms/conv at 100³×256 on a real chip, while zero padding folds
     into the conv op. Differs only at the outermost voxel shell.
+
+    impl (3³/stride-1/zero-pad convs only — others always use nn.Conv):
+      'xla'    — nn.Conv (XLA's generic 3D conv; ~43% MXU on the 100³ tails)
+      'z2d'    — z-offset decomposition into 3 batched 2D convs (XLA's
+                 best-tuned conv path; same math, fp-exact per offset)
+      'pallas' — ops/pallas_conv halo-tile MXU kernel with custom VJP
+    Param pytrees differ between 'xla' (Conv_0/{kernel,bias}) and the explicit
+    impls ({kernel,bias}); no weights are ported, so this is layout freedom.
     """
 
     out_channels: int
@@ -68,10 +76,29 @@ class Conv3DBlock(nn.Module):
     padding: Optional[int] = None
     dtype: Any = jnp.float32
     pad_mode: str = "edge"
+    impl: str = "xla"
 
     @nn.compact
     def __call__(self, x):  # [B, D, H, W, C]
         pad = self.kernel_size // 2 if self.padding is None else self.padding
+        fast_eligible = (self.impl != "xla" and self.kernel_size == 3
+                         and self.strides == 1 and pad == 1
+                         and self.pad_mode != "edge")
+        if fast_eligible:
+            kernel = self.param(
+                "kernel", _kaiming_or_xavier(self.activation),
+                (3, 3, 3, x.shape[-1], self.out_channels))
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.out_channels,))
+            xd = x.astype(self.dtype)
+            wd = kernel.astype(self.dtype)
+            if self.impl == "pallas":
+                from manigaussian_tpu.ops.pallas_conv import \
+                    conv3d_same_batched
+                y = conv3d_same_batched(xd, wd)
+            else:  # z2d
+                y = _conv3d_as_2d(xd, wd)
+            return act_layer(self.activation)(y + bias)
         if pad > 0 and self.pad_mode == "edge":
             x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (pad, pad), (0, 0)),
                         mode="edge")
@@ -83,6 +110,26 @@ class Conv3DBlock(nn.Module):
                     dtype=self.dtype,
                     kernel_init=_kaiming_or_xavier(self.activation))(x)
         return act_layer(self.activation)(x)
+
+
+def _conv3d_as_2d(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """3³ stride-1 zero-SAME 3D conv as 3 batched 2D convs (one per z-offset).
+
+    y[:, z] = Σ_oz conv2d(x[:, z + oz - 1], w[oz]) — the depth axis folds into
+    the conv batch, putting the work on XLA's heavily-tuned 2D conv path
+    instead of the generic 3D one.
+    """
+    b, d, h, wsp, ci = x.shape
+    co = w.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+    y = jnp.zeros((b * d, h, wsp, co), jnp.float32)
+    for oz in range(3):
+        xs = xp[:, oz:oz + d].reshape(b * d, h, wsp, ci)
+        y = y + jax.lax.conv_general_dilated(
+            xs, w[oz], window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+    return y.reshape(b, d, h, wsp, co)
 
 
 class Patchify3D(nn.Module):
@@ -224,7 +271,11 @@ class SpatialSoftmax3D(nn.Module):
 
 
 class Conv3DUpsampleBlock(nn.Module):
-    """conv → trilinear resize ×stride → conv (network_utils.py:374-391)."""
+    """conv → trilinear resize ×stride → conv (network_utils.py:374-391).
+
+    `impl` applies to the POST-resize conv only (the full-resolution hot one,
+    100³ in the flagship); the pre-resize conv runs at 1/stride³ the cost and
+    stays on nn.Conv."""
 
     out_channels: int
     strides: int
@@ -232,6 +283,7 @@ class Conv3DUpsampleBlock(nn.Module):
     activation: Optional[str] = None
     dtype: Any = jnp.float32
     pad_mode: str = "edge"
+    impl: str = "xla"
 
     @nn.compact
     def __call__(self, x):
@@ -245,5 +297,5 @@ class Conv3DUpsampleBlock(nn.Module):
                 method="trilinear")
         x = Conv3DBlock(self.out_channels, self.kernel_size, 1,
                         self.activation, dtype=self.dtype,
-                        pad_mode=self.pad_mode)(x)
+                        pad_mode=self.pad_mode, impl=self.impl)(x)
         return x

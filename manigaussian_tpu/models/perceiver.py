@@ -143,6 +143,8 @@ class PerceiverVoxelLangEncoder(nn.Module):
     dtype: Any = jnp.float32
     # boundary padding of the 100³ tail convs (MethodConfig.policy_pad_mode)
     pad_mode: str = "edge"
+    # implementation of the hot 100³ tail convs (MethodConfig.policy_conv_impl)
+    conv_impl: str = "xla"
 
     @nn.compact
     def __call__(self, voxel_grid: jnp.ndarray, proprio: jnp.ndarray,
@@ -230,22 +232,23 @@ class PerceiverVoxelLangEncoder(nn.Module):
         up = Conv3DUpsampleBlock(self.final_dim, self.voxel_patch_stride,
                                  kernel_size=3, activation=self.activation,
                                  dtype=self.dtype, pad_mode=self.pad_mode,
+                                 impl=self.conv_impl,
                                  name="up0")(dec)              # [B,V,V,V,128]
 
         if self.no_skip_connection:
             lat = Conv3DBlock(self.im_channels, 3, 1, self.activation,
                               dtype=self.dtype, pad_mode=self.pad_mode,
-                              name="final")(up)
+                              impl=self.conv_impl, name="final")(up)
         elif self.no_perceiver:
             lat = Conv3DBlock(self.im_channels, 3, 1, self.activation,
                               dtype=self.dtype, pad_mode=self.pad_mode,
-                              name="final")(d0)
+                              impl=self.conv_impl, name="final")(d0)
         else:
             # concat in the compute dtype: at bf16 this halves the HBM cost of
             # the heaviest tensor in the net (100³×256ch)
             lat = Conv3DBlock(self.im_channels, 3, 1, self.activation,
                               dtype=self.dtype, pad_mode=self.pad_mode,
-                              name="final")(
+                              impl=self.conv_impl, name="final")(
                 jnp.concatenate([d0.astype(self.dtype),
                                  up.astype(self.dtype)], axis=-1))
 

@@ -70,6 +70,7 @@ def agent_and_state():
     return agent, state, batch
 
 
+@pytest.mark.slow
 def test_update_step_runs_and_is_finite(agent_and_state):
     agent, state, batch = agent_and_state
     new_state, metrics = agent.update(state, batch, jax.random.PRNGKey(2))
@@ -83,6 +84,7 @@ def test_update_step_runs_and_is_finite(agent_and_state):
     assert max(jax.tree_util.tree_leaves(diff)) > 0
 
 
+@pytest.mark.slow
 def test_loss_decreases_over_steps():
     """Fixed targets (no SE(3) re-randomization, no renderer) must be learnable."""
     cfg = tiny_config(use_neural_rendering=False, apply_se3=False)
@@ -112,6 +114,7 @@ def test_act_produces_valid_action(agent_and_state):
     assert (np.asarray(res.trans_coords) < 20).all()
 
 
+@pytest.mark.slow
 def test_no_renderer_variant():
     cfg = tiny_config(use_neural_rendering=False)
     agent = ManiGaussianBCAgent(cfg)

@@ -62,6 +62,7 @@ def test_save_and_reload(tmp_path):
     assert cfg2 == cfg
 
 
+@pytest.mark.slow
 def test_train_cli_end_to_end(tmp_path):
     """Full train.py main() on synthetic data with a tiny override set."""
     import train as train_mod
@@ -107,6 +108,7 @@ def test_train_cli_end_to_end(tmp_path):
     assert os.path.exists(os.path.join(seed_dir, "eval_data.csv"))
 
 
+@pytest.mark.slow
 def test_train_cli_multi_seed_sequential(tmp_path):
     """framework.seeds=2 runs both seeds sequentially (reference
     train.py:86-88) and the already-trained early exit (train.py:78-84)

@@ -116,6 +116,7 @@ def renderer_on_setup(tmp_path_factory):
     return root, cfg, logdir
 
 
+@pytest.mark.slow
 def test_run_eval_parallel_two_workers(renderer_on_setup):
     """Parallel checkpoint eval (reference eval.py:154-172): both checkpoints
     evaluated in spawn-context workers, rows appended in order by the parent."""
@@ -137,6 +138,7 @@ def test_run_eval_parallel_two_workers(renderer_on_setup):
     assert all(np.isfinite(r["eval_envs/return"]) for r in rows)
 
 
+@pytest.mark.slow
 def test_state_skeleton_respects_method_registry():
     """GNFACTOR_BC checkpoints carry the NeRF renderer tree — the restore
     skeleton must come from the registry, not a hardcoded splat agent."""

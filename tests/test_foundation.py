@@ -4,6 +4,7 @@ semantic (w_geo_sem) train-step integration."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 
 from manigaussian_tpu.models.foundation import (StubFeatureExtractor,
@@ -46,6 +47,7 @@ def test_extract_gt_embed_shape():
     assert np.isfinite(np.asarray(embed)).all()
 
 
+@pytest.mark.slow
 def test_semantic_train_step():
     """w_geo_sem tier: gt_embed supervision produces a nonzero embed loss and
     gradients into the language-feature head."""

@@ -4,6 +4,7 @@ perceiver forward shapes (tiny dims), neural renderer end-to-end smoke."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 
 from manigaussian_tpu.models.gaussian_regressor import (MAX_SCALE,
@@ -71,6 +72,7 @@ def test_gaussian_regressor_shapes_and_activations():
     assert "next" not in out
 
 
+@pytest.mark.slow
 def test_gaussian_regressor_dynamic_field_detached():
     """Deformation branch: next params exist; grads through 'next' must NOT flow
     into the encoder (stop_gradient parity with models_embed.py:256-304)."""
@@ -120,6 +122,7 @@ def test_perceiver_forward_shapes_tiny():
     assert lang.shape == (B, 77, 32)
 
 
+@pytest.mark.slow
 def test_neural_renderer_end_to_end_tiny():
     from manigaussian_tpu.rendering.neural_renderer import NeuralRenderer
 

@@ -3,11 +3,13 @@ supports [front, left_shoulder, right_shoulder, wrist], conf/config.yaml)."""
 
 import jax
 import numpy as np
+import pytest
 
 from manigaussian_tpu.agents.bc_agent import ManiGaussianBCAgent
 from tests.test_agent import make_batch, tiny_config
 
 
+@pytest.mark.slow
 def test_two_camera_update_and_act():
     cfg = tiny_config(use_neural_rendering=True)
     agent = ManiGaussianBCAgent(cfg)

@@ -51,6 +51,7 @@ def _losses(logdir):
     return np.array([float(r["total_loss"]) for r in rows])
 
 
+@pytest.mark.slow
 def test_two_process_cpu_mesh_matches_single_process(tmp_path):
     demos = str(tmp_path / "demos")
     common = ["--variant", "w_geo", "--demo-root", demos, "--synthetic",

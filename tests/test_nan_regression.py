@@ -54,6 +54,7 @@ def _grad_leaves_finite(agent, state, batch, key):
 
 
 @pytest.mark.parametrize("step", [0, 5])
+@pytest.mark.slow
 def test_warmup_gate_degenerate_scene_finite_grads(step):
     """step < warm_up with near-camera points + zero embeds: the exact poison
     combination of round 1 must produce finite updated params."""
@@ -73,6 +74,7 @@ def test_warmup_gate_degenerate_scene_finite_grads(step):
     assert np.isfinite(float(metrics["total_loss"]))
 
 
+@pytest.mark.slow
 def test_post_warmup_degenerate_scene_finite_grads():
     """Past warm-up the dyna branch is LIVE; near-camera splats + empty embed
     pixels must still yield finite grads through the next-frame render."""
@@ -89,6 +91,7 @@ def test_post_warmup_degenerate_scene_finite_grads():
     assert ok, f"non-finite params: {bad[:10]}"
 
 
+@pytest.mark.slow
 def test_sparse_scene_zero_embed_pixels_finite():
     """A few splats covering a small image region: most embed pixels are
     exactly zero (no background in feature channels). Cosine loss grads must
@@ -111,6 +114,7 @@ def test_sparse_scene_zero_embed_pixels_finite():
     assert ok, f"non-finite params: {bad[:10]}"
 
 
+@pytest.mark.slow
 def test_multi_step_degenerate_training_stays_finite():
     """Run 5 consecutive updates through the warm-up boundary (steps 0..4,
     warm_up=3) on a half-degenerate batch; params must remain finite at every

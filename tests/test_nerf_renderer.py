@@ -74,6 +74,7 @@ def _tiny_renderer(**kw):
     return GNFactorNeRFRenderer(**args)
 
 
+@pytest.mark.slow
 def test_composite_matches_numpy_reference():
     """Alpha compositing math pinned to a numpy transcription of
     neural_rendering.py:238-258."""
@@ -123,6 +124,7 @@ def test_importance_sampling_concentrates():
     assert (np.abs(z - 0.656) < 0.08).mean() > 0.9, z
 
 
+@pytest.mark.slow
 def test_gnfactor_agent_trains_and_renders():
     from tests.test_agent import make_batch, tiny_config
     from manigaussian_tpu.agents.registry import create_agent

@@ -21,6 +21,7 @@ def test_eight_devices_available():
 
 
 @pytest.mark.parametrize("backend", ["xla", "pallas"])
+@pytest.mark.slow
 def test_tile_sharded_rasterizer_matches_single(backend):
     n = 128
     scene = random_scene(jax.random.PRNGKey(0), n, spread=0.35)
@@ -53,6 +54,7 @@ def test_tile_sharded_rasterizer_matches_single(backend):
 
 
 @pytest.mark.parametrize("backend", ["xla", "pallas"])
+@pytest.mark.slow
 def test_tile_sharded_gradients_match_single(backend):
     n = 96
     scene = random_scene(jax.random.PRNGKey(5), n, spread=0.35)
@@ -83,6 +85,7 @@ def test_tile_sharded_gradients_match_single(backend):
 
 
 @pytest.mark.parametrize("backend", ["xla", "pallas"])
+@pytest.mark.slow
 def test_tile_sharded_train_step_matches_single(backend):
     """Full BC update with the renderer's image tiles sharded over a 2-device
     mesh axis must match the unsharded update (VERDICT item 2: tile sharding
@@ -114,6 +117,7 @@ def test_tile_sharded_train_step_matches_single(backend):
         assert bool(jnp.isfinite(leaf).all()), jax.tree_util.keystr(path)
 
 
+@pytest.mark.slow
 def test_tile_sharded_two_level_dup_and_overflow():
     """Sharded path parity features (round 3): two-level duplication produces
     the same image as single-level, and tile_capacity overflow is REPORTED
@@ -147,6 +151,7 @@ def test_tile_sharded_two_level_dup_and_overflow():
     assert int(ext_t.overflow_splats) == int(ext_t1.overflow_splats)
 
 
+@pytest.mark.slow
 def test_2d_mesh_update_matches_single_device():
     """Combined data × tile sharding (VERDICT r2 item 3): a (4, 2) mesh with
     the batch on 'data' and the renderer's tiles shard_mapped over 'tile'
@@ -179,6 +184,7 @@ def test_2d_mesh_update_matches_single_device():
         assert bool(jnp.isfinite(leaf).all()), jax.tree_util.keystr(path)
 
 
+@pytest.mark.slow
 def test_data_parallel_update_matches_single_device():
     """DP over 8 virtual devices computes the same update as one device."""
     from tests.test_agent import make_batch, tiny_config

@@ -97,7 +97,7 @@ def test_language_feature_channel():
     np.testing.assert_allclose(lang[0, 0], 0.0, atol=1e-4)
 
 
-@pytest.mark.parametrize("n", [64, 300])
+@pytest.mark.parametrize("n", [64, pytest.param(300, marks=pytest.mark.slow)])
 def test_production_matches_oracle(n):
     key = jax.random.PRNGKey(42)
     scene = random_scene(key, n, spread=0.4)
@@ -126,6 +126,7 @@ def test_production_matches_oracle(n):
     np.testing.assert_array_equal(np.asarray(out_p.radii), np.asarray(out_r.radii))
 
 
+@pytest.mark.slow
 def test_production_matches_oracle_gradients():
     n = 96
     key = jax.random.PRNGKey(7)
@@ -156,6 +157,7 @@ def test_production_matches_oracle_gradients():
                             err_msg=name)
 
 
+@pytest.mark.slow
 def test_gradients_match_finite_differences():
     """Spot-check autodiff vs central differences on a small scene (oracle)."""
     n = 8
@@ -211,6 +213,7 @@ def test_pallas_vs_xla_backends_agree():
                             err_msg=name)
 
 
+@pytest.mark.slow
 def test_pallas_gradients_match_finite_differences():
     """Validate the hand-written analytic VJP directly (central differences)."""
     n = 16
@@ -275,6 +278,7 @@ def test_jit_and_vmap_compatible():
 
 
 @pytest.mark.parametrize("backend", ["xla", "pallas"])
+@pytest.mark.slow
 def test_two_level_duplication_matches_single_level(backend):
     """small_rect_cap + big-table compaction (RasterizeConfig two-level
     duplication) renders the IDENTICAL splat set when the big table covers

@@ -32,6 +32,7 @@ def pipeline(tmp_path_factory):
     return replay
 
 
+@pytest.mark.slow
 def test_runner_end_to_end_with_resume(pipeline, tmp_path):
     logdir = str(tmp_path / "logs")
     cfg = tiny_config(use_dynamic_field=False)

@@ -27,6 +27,7 @@ def _tier_config(use_dynamic_field, foundation):
     ("w_geo_sem", False, "diffusion"),
     ("w_geo_sem_dyna", True, "diffusion"),
 ])
+@pytest.mark.slow
 def test_tier_train_step(tier, dyna, foundation):
     cfg = _tier_config(dyna, foundation)
     agent = ManiGaussianBCAgent(cfg)
