@@ -33,33 +33,42 @@ TOTAL_BUDGET_S = float(os.environ.get("BENCH_RETRY_BUDGET_S", 1800.0))
 ATTEMPT_TIMEOUT_S = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT_S", 900.0))
 
 
+def make_scene(key, n):
+    """Shared synthetic-scene maker (also used by bench_scaling.py and the
+    dryrun). jax imported lazily: the hardened parent process must never
+    touch the backend."""
+    import jax
+    import jax.numpy as jnp
+    ks = jax.random.split(key, 6)
+    means = jax.random.uniform(ks[0], (n, 3), minval=-0.4, maxval=0.4) \
+        + jnp.array([0.0, 0.0, 1.6])
+    scales = jnp.exp(jax.random.uniform(
+        ks[1], (n, 3), minval=jnp.log(0.002), maxval=jnp.log(0.02)))
+    q = jax.random.normal(ks[2], (n, 4))
+    rotations = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    opacities = jax.random.uniform(ks[3], (n,), minval=0.2, maxval=0.9)
+    shs = jax.random.normal(ks[4], (n, 4, 3)) * 0.3
+    lang = jax.random.normal(ks[5], (n, 3))
+    return means, scales, rotations, opacities, shs, lang
+
+
+def make_camera(size):
+    import jax.numpy as jnp
+
+    from manigaussian_tpu.ops import camera as cam
+    intr = jnp.array([[float(size), 0.0, size / 2.0],
+                      [0.0, float(size), size / 2.0],
+                      [0.0, 0.0, 1.0]])
+    c2w = jnp.eye(4)
+    return cam.novel_camera_calib(intr, c2w, 0.1, 4.0, size, size)
+
+
 def _benchmark() -> None:
     """The actual benchmark; runs in a subprocess (see main)."""
     import jax
     import jax.numpy as jnp
 
-    from manigaussian_tpu.ops import camera as cam
     from manigaussian_tpu.ops.rasterizer import RasterizeConfig, rasterize
-
-    def make_scene(key, n):
-        ks = jax.random.split(key, 6)
-        means = jax.random.uniform(ks[0], (n, 3), minval=-0.4, maxval=0.4) \
-            + jnp.array([0.0, 0.0, 1.6])
-        scales = jnp.exp(jax.random.uniform(
-            ks[1], (n, 3), minval=jnp.log(0.002), maxval=jnp.log(0.02)))
-        q = jax.random.normal(ks[2], (n, 4))
-        rotations = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
-        opacities = jax.random.uniform(ks[3], (n,), minval=0.2, maxval=0.9)
-        shs = jax.random.normal(ks[4], (n, 4, 3)) * 0.3
-        lang = jax.random.normal(ks[5], (n, 3))
-        return means, scales, rotations, opacities, shs, lang
-
-    def make_camera(size):
-        intr = jnp.array([[float(size), 0.0, size / 2.0],
-                          [0.0, float(size), size / 2.0],
-                          [0.0, 0.0, 1.0]])
-        c2w = jnp.eye(4)
-        return cam.novel_camera_calib(intr, c2w, 0.1, 4.0, size, size)
 
     n, size = 65536, 128
     camera = make_camera(size)

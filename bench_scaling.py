@@ -12,9 +12,10 @@ measures:
       4 cores), NOT interconnect efficiency — a 4-device row on 4 cores
       cannot exceed ~1/D of ideal even for a perfect program.
   weak_wallclock — per-device work held constant (image grows with D);
-      `cpu_norm_efficiency` multiplies out the known oversubscription factor
-      max(1, D·proc/cores), giving a compute-normalized view of partitioning
-      overhead on CPU.
+      `core_share_adjusted_efficiency` multiplies by D·processes (the number
+      of device programs sharing the host's cores), i.e. assumes a
+      host-saturating 1-device baseline — values > 1 mean the baseline was
+      not host-bound, so treat the adjusted number as an upper bound.
   comm_model — no timing: compiles the D-device program, sums collective
       bytes from the HLO (all-gather / all-reduce / reduce-scatter /
       collective-permute), and projects a NO-OVERLAP lower bound on ICI
@@ -141,55 +142,190 @@ def main(argv=None):
             with open(args.out, "a") as f:
                 f.write(json.dumps(row) + "\n")
 
-    base = None
-    d = 1
-    while d <= n_devices:
-        # tile rows must not straddle devices (rasterizer_sharded constraint)
-        if d > 1 and (num_tiles % d != 0 or (num_tiles // d) % tiles_x != 0):
-            d *= 2
-            continue
+    cores = os.cpu_count() or 1
+    platform = jax.default_backend()
+
+    def make_loss(d, size_d, cfg_d, cam_d, tgt_d):
         if d == 1:
             def loss(m):
-                out, _ = rasterize(m, opacities, camera, cfg, (0., 0., 0.),
+                out, _ = rasterize(m, opacities, cam_d, cfg_d, (0., 0., 0.),
                                    scales=scales, rotations=rotations, shs=shs,
                                    language_features=lang)
-                return jnp.sum((out.color - tgt) ** 2)
+                return jnp.sum((out.color - tgt_d) ** 2)
         else:
             mesh = make_mesh((d,), ("tile",))
 
             def loss(m, mesh=mesh):
-                out, _ = rasterize_sharded(mesh, m, opacities, camera, cfg,
+                out, _ = rasterize_sharded(mesh, m, opacities, cam_d, cfg_d,
                                            (0., 0., 0.), scales=scales,
                                            rotations=rotations, shs=shs,
                                            language_features=lang)
-                return jnp.sum((out.color - tgt) ** 2)
+                return jnp.sum((out.color - tgt_d) ** 2)
+        return loss
 
-        step = jax.jit(jax.grad(loss))
+    def time_step(step):
         out = step(means)
         jax.block_until_ready(out)
         t0 = time.perf_counter()
         for _ in range(iters):
             out = step(means)
         jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / iters
+        return (time.perf_counter() - t0) / iters
+
+    def tile_ok(d, size_d):
+        tx = size_d // 16
+        nt = tx * tx
+        return d == 1 or (nt % d == 0 and (nt // d) % tx == 0)
+
+    if args.comm_model:
+        # No timing: collective bytes straight from the compiled HLO +
+        # projected no-overlap lower bound on real-ICI efficiency.
+        d = 2
+        while d <= n_devices:
+            if not tile_ok(d, size):
+                d *= 2
+                continue
+            loss = make_loss(d, size, cfg, camera, tgt)
+            hlo = jax.jit(jax.grad(loss)).lower(means).compile().as_text()
+            byts = _collective_bytes(hlo)
+            total = sum(byts.values())
+            t_comm = total * (d - 1) / d / ICI_BW_BYTES_PER_S
+            t_comp = args.tcomp_render_ms / 1e3
+            eff = t_comp / (t_comp + t_comm)
+            record({
+                "metric": "render_comm_model", "method": "comm_model",
+                "devices": d, "collective_bytes": byts,
+                "total_collective_bytes": total,
+                "t_comm_no_overlap_ms": round(t_comm * 1e3, 4),
+                "t_comp_measured_ms": args.tcomp_render_ms,
+                "ici_bw_bytes_per_s": ICI_BW_BYTES_PER_S,
+                "projected_ici_efficiency_lower_bound": round(eff, 4),
+                "backend": backend, "n_gaussians": n, "size": size,
+            })
+            d *= 2
+        if args.train_step:
+            _train_comm_model(args, record)
+        return results
+
+    base = None
+    d = 1
+    while d <= n_devices:
+        # tile rows must not straddle devices (rasterizer_sharded constraint)
+        if not tile_ok(d, size):
+            d *= 2
+            continue
+        dt = time_step(jax.jit(jax.grad(make_loss(d, size, cfg, camera, tgt))))
         rate = rays / dt
         if base is None:
             base = rate
+        # Core-sharing adjustment: d concurrent device programs split the
+        # host's cores, so vs a host-saturating 1-device baseline the expected
+        # wallclock slowdown is d. Values > 1 after adjustment mean the
+        # baseline did not saturate the host — treat as an upper bound.
+        oversub = float(d * jax.process_count()) if platform == "cpu" else 1.0
         record({
             "metric": "rays_per_s_fwd_bwd",
+            "method": "strong_wallclock",
             "devices": d,
             "value": round(rate, 1),
             "efficiency_vs_1": round(rate / (base * d), 3),
+            "core_share_adjusted_efficiency": round(rate / (base * d) * oversub, 3),
+            "platform_limited": platform == "cpu" and d > 1,
             "backend": backend,
             "n_gaussians": n, "size": size,
-            "platform": jax.default_backend(),
+            "platform": platform,
             "processes": jax.process_count(),
         })
         d *= 2
 
+    if args.weak:
+        # Weak scaling: per-device pixel work fixed — image AREA grows with D
+        # (size ∝ √D, tile-row constraint respected).
+        base_rate = None
+        d = 1
+        while d <= n_devices:
+            size_d = size
+            while (size_d * size_d) // (16 * 16) < d or not tile_ok(d, size_d):
+                size_d += 16
+            cam_d = B.make_camera(size_d)
+            cfg_d = cfg._replace(width=size_d, height=size_d)
+            tgt_d = jax.random.uniform(jax.random.PRNGKey(1),
+                                       (size_d, size_d, 3))
+            dt = time_step(
+                jax.jit(jax.grad(make_loss(d, size_d, cfg_d, cam_d, tgt_d))))
+            per_dev_rate = (size_d * size_d / d) / dt
+            if base_rate is None:
+                base_rate = per_dev_rate
+            oversub = float(d * jax.process_count()) \
+                if platform == "cpu" else 1.0
+            record({
+                "metric": "rays_per_s_per_device_weak",
+                "method": "weak_wallclock",
+                "devices": d, "size": size_d,
+                "value": round(per_dev_rate, 1),
+                "efficiency_vs_1": round(per_dev_rate / base_rate, 3),
+                "core_share_adjusted_efficiency": round(
+                    per_dev_rate / base_rate * oversub, 3),
+                "platform_limited": platform == "cpu" and d > 1,
+                "backend": backend, "n_gaussians": n,
+                "platform": platform,
+                "processes": jax.process_count(),
+            })
+            d *= 2
+
     if args.train_step:
         _train_scaling(args, record)
     return results
+
+
+def _train_comm_model(args, record):
+    """comm_model rows for the DP train step: grad all-reduce bytes from the
+    compiled HLO at flagship parameter scale + projected ICI efficiency."""
+    import jax
+
+    import __graft_entry__ as ge
+    from manigaussian_tpu.agents.bc_agent import ManiGaussianBCAgent
+    from manigaussian_tpu.parallel.mesh import (make_mesh, replicate_state,
+                                                shard_batch)
+    from manigaussian_tpu.parallel.train_sharded import make_sharded_update
+
+    from manigaussian_tpu import config as C
+    cfg = C.w_geo()  # FLAGSHIP dims: the comm volume that matters
+    agent = ManiGaussianBCAgent(cfg)
+    n_devices = len(jax.devices())
+    d = min(2, n_devices)
+    batch = ge._make_batch(jax.random.PRNGKey(0), b=d, ncam=1, h=128, w=128,
+                           img=128)
+    state = agent.init_state(jax.random.PRNGKey(1), batch, training=True,
+                             lazy=True)
+    param_bytes = sum(x.size * x.dtype.itemsize
+                      for x in jax.tree_util.tree_leaves(state.params))
+    mesh = make_mesh((d,), ("data",))
+    state = replicate_state(state, mesh)
+    batch = shard_batch(batch, mesh)
+    from manigaussian_tpu.parallel.mesh import batch_sharding, replicated
+    rep = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    lowered = jax.jit(
+        agent.update,
+        in_shardings=(jax.tree_util.tree_map(lambda _: rep, state),
+                      jax.tree_util.tree_map(lambda _: bsh, batch), rep)
+    ).lower(state, batch, jax.random.PRNGKey(2))
+    byts = _collective_bytes(lowered.compile().as_text())
+    total = sum(byts.values())
+    t_comm = total * (d - 1) / d / ICI_BW_BYTES_PER_S
+    t_comp = args.tcomp_step_ms / 1e3
+    record({
+        "metric": "dp_train_step_comm_model", "method": "comm_model",
+        "devices": d, "collective_bytes": byts,
+        "total_collective_bytes": total,
+        "param_bytes": int(param_bytes),
+        "t_comm_no_overlap_ms": round(t_comm * 1e3, 3),
+        "t_comp_measured_ms": args.tcomp_step_ms,
+        "ici_bw_bytes_per_s": ICI_BW_BYTES_PER_S,
+        "projected_ici_efficiency_lower_bound": round(
+            t_comp / (t_comp + t_comm), 4),
+    })
 
 
 def _train_scaling(args, record):
@@ -243,13 +379,18 @@ def _train_scaling(args, record):
         rate = 1.0 / dt
         if base is None:
             base = rate
+        platform = jax.default_backend()
+        oversub = float(d * jax.process_count()) if platform == "cpu" else 1.0
         record({
             "metric": "dp_train_steps_per_s",
+            "method": "weak_wallclock",  # global batch grows with D
             "devices": d,
             "global_batch": d,
             "value": round(rate, 2),
             "efficiency_vs_1": round(rate / base, 3),
-            "platform": jax.default_backend(),
+            "core_share_adjusted_efficiency": round(rate / base * oversub, 3),
+            "platform_limited": platform == "cpu" and d > 1,
+            "platform": platform,
             "processes": jax.process_count(),
         })
         d *= 2

@@ -22,7 +22,9 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--logdir", required=True)
     parser.add_argument("--demo-root", required=True)
-    parser.add_argument("--env", default="mock", choices=["mock", "rlbench"])
+    parser.add_argument("--env", default="mock",
+                        help="mock | rlbench | rpc://HOST:PORT (simulator on "
+                             "a separate host, scripts/sim_host_server.py)")
     parser.add_argument("--eval-type", default="last",
                         help="missing | best | last | <int checkpoint>")
     parser.add_argument("--episodes", type=int, default=25)

@@ -76,19 +76,26 @@ class ClipRN50TextModel:
         from manigaussian_tpu.models import clip_text as ct
 
         self.tokenizer = ClipBPETokenizer(bpe_path)
-        if isinstance(checkpoint_path, str):
-            import torch
-            try:
-                sd = torch.jit.load(checkpoint_path,
-                                    map_location="cpu").state_dict()
-            except RuntimeError:
-                obj = torch.load(checkpoint_path, map_location="cpu")
-                sd = obj.state_dict() if hasattr(obj, "state_dict") else obj
+        if isinstance(checkpoint_path, str) and \
+                checkpoint_path.endswith(".msgpack"):
+            # pre-converted Flax weights (tools/convert_weights.py) — no torch
+            from manigaussian_tpu.tools.convert_weights import load_converted
+            payload = load_converted(checkpoint_path)
+            dims, self.variables = payload["dims"], payload["variables"]
         else:
-            sd = checkpoint_path
-        dims = ct.model_dims_from_state_dict(sd)
+            if isinstance(checkpoint_path, str):
+                import torch
+                try:
+                    sd = torch.jit.load(checkpoint_path,
+                                        map_location="cpu").state_dict()
+                except RuntimeError:
+                    obj = torch.load(checkpoint_path, map_location="cpu")
+                    sd = obj.state_dict() if hasattr(obj, "state_dict") else obj
+            else:
+                sd = checkpoint_path
+            dims = ct.model_dims_from_state_dict(sd)
+            self.variables = ct.load_openai_state_dict(sd)
         self.model = ct.ClipTextTransformer(**dims)
-        self.variables = ct.load_openai_state_dict(sd)
         self._apply = jax.jit(self.model.apply)
 
     def encode(self, text: str):

@@ -187,16 +187,21 @@ class DinoV2JaxExtractor:
     VitExtractor + F.interpolate (neural_rendering.py:151-153)."""
 
     def __init__(self, checkpoint_path, patch_multiple: int = 518):
-        from functools import partial
-
-        sd = checkpoint_path
-        if isinstance(checkpoint_path, (str, bytes)):
-            import torch
-            obj = torch.load(checkpoint_path, map_location="cpu")
-            sd = obj.state_dict() if hasattr(obj, "state_dict") else obj
-        dims = dims_from_state_dict(sd)
+        if isinstance(checkpoint_path, str) and \
+                checkpoint_path.endswith(".msgpack"):
+            # pre-converted Flax weights (tools/convert_weights.py) — no torch
+            from manigaussian_tpu.tools.convert_weights import load_converted
+            payload = load_converted(checkpoint_path)
+            dims, self.variables = payload["dims"], payload["variables"]
+        else:
+            sd = checkpoint_path
+            if isinstance(checkpoint_path, (str, bytes)):
+                import torch
+                obj = torch.load(checkpoint_path, map_location="cpu")
+                sd = obj.state_dict() if hasattr(obj, "state_dict") else obj
+            dims = dims_from_state_dict(sd)
+            self.variables = load_dinov2_state_dict(sd)
         self.model = DinoV2ViT(**dims)
-        self.variables = load_dinov2_state_dict(sd)
         self.patch = dims["patch_size"]
         self._apply = jax.jit(self.model.apply)
 

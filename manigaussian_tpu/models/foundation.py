@@ -157,12 +157,50 @@ def create_feature_extractor(name: Optional[str],
             UserWarning, stacklevel=2)
         return StubFeatureExtractor()
     if name == "diffusion":
+        if checkpoint_dir and os.path.isfile(checkpoint_dir):
+            return SDVaeFeatureExtractor(checkpoint_dir)
         warnings.warn(
-            "foundation_model_name='diffusion' (ODISE StableDiffusion "
-            "features) has no offline tower in this framework: semantic "
-            "supervision uses StubFeatureExtractor statistics instead. For "
-            "real semantic features use foundation_model_name='dinov2' with "
-            "a local checkpoint (models/dinov2.py).",
+            "foundation_model_name='diffusion' without a checkpoint: "
+            "semantic supervision falls back to StubFeatureExtractor "
+            "statistics. Mount a StableDiffusion checkpoint (CompVis .ckpt "
+            "or a converted .msgpack from tools/convert_weights.py sd_vae) "
+            "and set neural_renderer.foundation_checkpoint for the real "
+            "ODISE feature path (models/sd_vae.py).",
             UserWarning, stacklevel=2)
         return StubFeatureExtractor()
     return StubFeatureExtractor()
+
+
+class SDVaeFeatureExtractor:
+    """The ODISE 'diffusion' feature path ManiGaussian actually uses
+    (models/sd_vae.py docstring): resize to 512² (diffusion_preprocess,
+    neural_rendering.py:67), normalize to [-1,1] (pixel_mean/std 0.5,
+    ldm.py:70-71), VAE encode → clean-latent decode → decoder tap -1
+    ([B, 128, 128, 512] for 512² input), resized back to the input size."""
+
+    def __init__(self, checkpoint_path: str, feature_hw: int = 512):
+        from manigaussian_tpu.models import sd_vae as sv
+
+        if str(checkpoint_path).endswith(".msgpack"):
+            from manigaussian_tpu.tools.convert_weights import load_converted
+            payload = load_converted(checkpoint_path)
+            dims, self.variables = payload["dims"], payload["variables"]
+        else:
+            import torch
+            obj = torch.load(checkpoint_path, map_location="cpu")
+            sd = obj.get("state_dict", obj) if isinstance(obj, dict) else \
+                obj.state_dict()
+            dims = sv.dims_from_state_dict(sd)
+            self.variables = sv.load_sd_vae_state_dict(sd)
+        self.model = sv.SDVae(**dims)
+        self.feature_hw = feature_hw
+        self._apply = jax.jit(self.model.apply)
+
+    def __call__(self, rgb: jnp.ndarray) -> jnp.ndarray:  # [B,H,W,3] in [0,1]
+        b, h, w, _ = rgb.shape
+        img = jax.image.resize(rgb, (b, self.feature_hw, self.feature_hw, 3),
+                               method="bilinear")
+        out = self._apply(self.variables, img * 2.0 - 1.0)
+        feats = out["decoder_features"][-1]
+        return jax.image.resize(feats, (b, h, w, feats.shape[-1]),
+                                method="bilinear")

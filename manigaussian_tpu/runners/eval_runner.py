@@ -83,11 +83,14 @@ def select_checkpoints(logdir: str, eval_type, tasks: Sequence[str]) -> List[int
 
 def rollout_episode(agent: ManiGaussianBCAgent, params, env: EnvClient,
                     episode_index: int, episode_length: int,
-                    lang_emb, lang_tokens, act_fn=None) -> float:
-    """One closed-loop episode; returns the episode return."""
+                    lang_emb, lang_tokens, act_fn=None,
+                    with_length: bool = False):
+    """One closed-loop episode; returns the episode return
+    (or (return, steps_taken) when with_length)."""
     obs = env.reset_to_demo(episode_index)
     act = act_fn or agent.jit_act()
     total = 0.0
+    steps = 0
     for _ in range(episode_length):
         batch_obs = {
             "rgb": obs.rgb[None], "pcd": obs.pcd[None],
@@ -99,10 +102,11 @@ def rollout_episode(agent: ManiGaussianBCAgent, params, env: EnvClient,
         action = np.asarray(res.continuous_action[0])
         step_res = env.step(action)
         total += step_res.reward
+        steps += 1
         obs = step_res.observation
         if step_res.terminal:
             break
-    return total
+    return (total, steps) if with_length else total
 
 
 def evaluate_checkpoint(agent: ManiGaussianBCAgent, logdir: str, step: int,
@@ -115,17 +119,26 @@ def evaluate_checkpoint(agent: ManiGaussianBCAgent, logdir: str, step: int,
 
     row: Dict[str, float] = {"step": float(step)}
     per_task = []
+    total_transitions = 0  # cumulative across tasks, reference CSV convention
     for task in tasks:
         env.set_task(task)
         sent, toks = lang_model.encode(task.replace("_", " "))
-        returns = [
+        outcomes = [
             rollout_episode(agent, state.params, env, e, episode_length,
-                            sent, toks, act_fn=act)
+                            sent, toks, act_fn=act, with_length=True)
             for e in range(eval_episodes)]
+        returns = [r for r, _ in outcomes]
+        lengths = [s for _, s in outcomes]
         mean_r = float(np.mean(returns))
         per_task.append(mean_r)
+        total_transitions += int(np.sum(lengths))
         if len(tasks) > 1:
+            # the reference's per-task column triple (ManiGaussian_results CSV
+            # header: return / length / cumulative total_transitions)
             row[f"eval_envs/return/{task}"] = mean_r
+            row[f"eval_envs/length/{task}"] = float(np.mean(lengths))
+            row[f"eval_envs/total_transitions/{task}"] = float(
+                total_transitions)
     if len(tasks) == 1:
         row["eval_envs/return"] = per_task[0]
     row["eval_envs/mean_return"] = float(np.mean(per_task))
@@ -194,6 +207,10 @@ def make_env(cfg, demo_root: str, env_kind: str) -> EnvClient:
         from manigaussian_tpu.envs.mock_env import MockEnvClient
         return MockEnvClient(demo_root, cameras=cfg.rlbench.cameras,
                              episode_length=cfg.rlbench.episode_length)
+    if env_kind.startswith("rpc://"):
+        # simulator on a separate host (scripts/sim_host_server.py)
+        from manigaussian_tpu.envs.rpc import RPCEnvClient
+        return RPCEnvClient(env_kind)
     from manigaussian_tpu.envs.rlbench_env import RLBenchEnvClient
     return RLBenchEnvClient(demo_root, cameras=cfg.rlbench.cameras,
                             episode_length=cfg.rlbench.episode_length)
