@@ -122,13 +122,15 @@ def _conv3d_as_2d(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     b, d, h, wsp, ci = x.shape
     co = w.shape[-1]
     xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+    # accumulate the 3 z-offsets in f32; the conv itself runs in the input
+    # dtype (casting after, not preferred_element_type: a f32-preferred conv
+    # hands its transpose a f32 cotangent against bf16 operands and fails)
     y = jnp.zeros((b * d, h, wsp, co), jnp.float32)
     for oz in range(3):
         xs = xp[:, oz:oz + d].reshape(b * d, h, wsp, ci)
         y = y + jax.lax.conv_general_dilated(
             xs, w[oz], window_strides=(1, 1), padding="SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32)
+            dimension_numbers=("NHWC", "HWIO", "NHWC")).astype(jnp.float32)
     return y.reshape(b, d, h, wsp, co)
 
 
