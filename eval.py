@@ -34,6 +34,10 @@ def main(argv=None):
     parser.add_argument("--workers", type=int, default=1,
                         help="evaluate checkpoints in this many parallel "
                              "subprocesses (reference eval.py:154-172)")
+    parser.add_argument("--record-every-n", type=int, default=0,
+                        help="save a GIF of every n-th eval episode under "
+                             "<logdir>/videos (cinematic recorder analog, "
+                             "reference conf/eval.yaml:40-49; 0 = off)")
     parser.add_argument("--cpu", type=int, default=0, metavar="N",
                         help="force the CPU platform with N virtual devices")
     parser.add_argument("overrides", nargs="*")
@@ -87,7 +91,8 @@ def main(argv=None):
     rows = run_eval(agent, args.logdir, env, cfg.rlbench.tasks,
                     eval_type=eval_type, eval_episodes=args.episodes,
                     episode_length=cfg.rlbench.episode_length,
-                    lang_model=lang, state_like=state_like)
+                    lang_model=lang, state_like=state_like,
+                    record_every_n=args.record_every_n)
     for r in rows:
         print(r)
 

@@ -96,9 +96,14 @@ class ManiGaussianBCAgent:
     # ---------------------------------------------------------------- build
     def init_state(self, key: jax.Array, example_batch: Dict[str, jnp.ndarray],
                    training: bool = True, lazy: bool = False) -> TrainState:
-        # lazy=True: flax lazy_init — parameters without executing the forward
-        # (no renderer/conv compute at init; exact same param values)
-        init_fn = self.qfn.lazy_init if lazy else self.qfn.init
+        # Initialize through a mesh-FREE QFunction: the tile shard_map is
+        # partial-manual over 'tile' and only composes with a 'data' axis
+        # inside the sharded jit of the train step — eager/lazy init would
+        # trace it unsharded and fail on 2D meshes. The rasterizer holds no
+        # parameters, so the param tree is identical.
+        qfn = (QFunction(self.cfg.method) if self.qfn.tile_mesh is not None
+               else self.qfn)
+        init_fn = qfn.lazy_init if lazy else qfn.init
         params = init_fn(
             {"params": key, "dropout": key},
             example_batch["rgb"], example_batch["pcd"],
@@ -230,9 +235,12 @@ class ManiGaussianBCAgent:
     # ------------------------------------------------------------- rendering
     def render_for_vis(self, params, batch: Dict[str, jnp.ndarray]):
         """Inference-mode novel-view render for the recon panels
-        (QFunction.render parity, qattention:289-359). Returns RenderResult."""
+        (QFunction.render parity, qattention:289-359). Returns RenderResult.
+        Runs mesh-free: a visualization render happens outside the sharded
+        jit, where the partial-manual tile shard_map cannot trace."""
         m = self.cfg.method
-        q = self.qfn.apply(
+        qfn = (QFunction(m) if self.qfn.tile_mesh is not None else self.qfn)
+        q = qfn.apply(
             params, normalize_rgb(batch["rgb"]), batch["pcd"],
             batch["low_dim_state"], batch["lang_goal_emb"],
             batch["lang_token_embs"], self.bounds,

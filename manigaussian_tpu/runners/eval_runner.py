@@ -84,13 +84,18 @@ def select_checkpoints(logdir: str, eval_type, tasks: Sequence[str]) -> List[int
 def rollout_episode(agent: ManiGaussianBCAgent, params, env: EnvClient,
                     episode_index: int, episode_length: int,
                     lang_emb, lang_tokens, act_fn=None,
-                    with_length: bool = False):
+                    with_length: bool = False, recorder=None):
     """One closed-loop episode; returns the episode return
-    (or (return, steps_taken) when with_length)."""
+    (or (return, steps_taken) when with_length). `recorder` (an
+    utils/video.EpisodeRecorder) collects the front-camera frames — the
+    cinematic-recorder analog (reference conf/eval.yaml cinematic_recorder +
+    yarr TaskRecorder)."""
     obs = env.reset_to_demo(episode_index)
     act = act_fn or agent.jit_act()
     total = 0.0
     steps = 0
+    if recorder is not None:
+        recorder.add_frame(obs.rgb[0])
     for _ in range(episode_length):
         batch_obs = {
             "rgb": obs.rgb[None], "pcd": obs.pcd[None],
@@ -104,6 +109,8 @@ def rollout_episode(agent: ManiGaussianBCAgent, params, env: EnvClient,
         total += step_res.reward
         steps += 1
         obs = step_res.observation
+        if recorder is not None:
+            recorder.add_frame(obs.rgb[0])
         if step_res.terminal:
             break
     return (total, steps) if with_length else total
@@ -112,7 +119,8 @@ def rollout_episode(agent: ManiGaussianBCAgent, params, env: EnvClient,
 def evaluate_checkpoint(agent: ManiGaussianBCAgent, logdir: str, step: int,
                         env: EnvClient, tasks: Sequence[str],
                         eval_episodes: int, episode_length: int,
-                        lang_model, state_like) -> Dict[str, float]:
+                        lang_model, state_like,
+                        record_every_n: int = 0) -> Dict[str, float]:
     state, _ = restore_checkpoint(logdir, state_like, step=step)
     assert state is not None, f"checkpoint {step} missing in {logdir}"
     act = agent.jit_act()
@@ -123,10 +131,19 @@ def evaluate_checkpoint(agent: ManiGaussianBCAgent, logdir: str, step: int,
     for task in tasks:
         env.set_task(task)
         sent, toks = lang_model.encode(task.replace("_", " "))
-        outcomes = [
-            rollout_episode(agent, state.params, env, e, episode_length,
-                            sent, toks, act_fn=act, with_length=True)
-            for e in range(eval_episodes)]
+        outcomes = []
+        for e in range(eval_episodes):
+            rec = None
+            if record_every_n and e % record_every_n == 0:
+                from manigaussian_tpu.utils.video import EpisodeRecorder
+                rec = EpisodeRecorder()
+            outcomes.append(
+                rollout_episode(agent, state.params, env, e, episode_length,
+                                sent, toks, act_fn=act, with_length=True,
+                                recorder=rec))
+            if rec is not None:
+                rec.save(os.path.join(logdir, "videos",
+                                      f"{task}_step{step}_ep{e}"))
         returns = [r for r, _ in outcomes]
         lengths = [s for _, s in outcomes]
         mean_r = float(np.mean(returns))
@@ -148,8 +165,10 @@ def evaluate_checkpoint(agent: ManiGaussianBCAgent, logdir: str, step: int,
 def run_eval(agent: ManiGaussianBCAgent, logdir: str, env: EnvClient,
              tasks: Sequence[str], eval_type="last", eval_episodes: int = 25,
              episode_length: int = 25, lang_model=None,
-             state_like=None) -> List[Dict[str, float]]:
-    """Full eval pass (eval.py eval_seed semantics, serial over checkpoints)."""
+             state_like=None, record_every_n: int = 0) -> List[Dict[str, float]]:
+    """Full eval pass (eval.py eval_seed semantics, serial over checkpoints).
+    record_every_n > 0 saves a GIF of every n-th episode under
+    <logdir>/videos/ (cinematic-recorder analog, conf/eval.yaml)."""
     steps = select_checkpoints(logdir, eval_type, tasks)
     rows = []
     env.launch()
@@ -157,7 +176,8 @@ def run_eval(agent: ManiGaussianBCAgent, logdir: str, env: EnvClient,
         for step in steps:
             row = evaluate_checkpoint(agent, logdir, step, env, tasks,
                                       eval_episodes, episode_length,
-                                      lang_model, state_like)
+                                      lang_model, state_like,
+                                      record_every_n=record_every_n)
             append_eval_csv(logdir, row)
             rows.append(row)
     finally:

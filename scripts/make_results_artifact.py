@@ -52,10 +52,12 @@ def run(out_dir: str, seeds: int = 3, tasks=tuple(TASKS), iterations: int = 90,
     # micro config: tiny dims so 3 seeds train on CPU in minutes; the SHAPE of
     # the artifact (multi-task, multi-seed, multi-checkpoint) is the point
     cfg = C.w_geo()
+    # grad_clip_norm: batch-1 fp32 training of the tiny transformer blows up
+    # after a few hundred steps without it (config.py knob rationale)
     m = dataclasses.replace(
         cfg.method, voxel_sizes=(20,), num_latents=32, latent_dim=32,
         transformer_depth=1, cross_dim_head=8, latent_dim_head=8,
-        final_dim=16, policy_dtype="float32",
+        final_dim=16, policy_dtype="float32", grad_clip_norm=5.0,
         neural_renderer=dataclasses.replace(
             cfg.method.neural_renderer, image_width=32, image_height=32,
             d_latent=16, tile_capacity=64, max_tiles_per_gaussian=4, chunk=32,

@@ -156,3 +156,21 @@ def test_state_skeleton_respects_method_registry():
             jax.tree_util.tree_leaves_with_path(skel.params)}
     assert any("nerf" in k for k in flat), sorted(flat)[:5]
     assert not any("gs_model" in k or "gaussian" in k.lower() for k in flat)
+
+
+def test_eval_records_episode_gifs(eval_setup, tmp_path):
+    """record_every_n saves cinematic-recorder GIFs under <logdir>/videos
+    (reference conf/eval.yaml cinematic_recorder)."""
+    import glob
+
+    root, agent, state, _ = eval_setup
+    logdir = str(tmp_path / "rec_logs")
+    from manigaussian_tpu.utils.checkpoint import save_checkpoint
+    save_checkpoint(logdir, 100, jax.device_get(state))
+    env = MockEnvClient(root, pos_tol=0.5)
+    lang = create_language_model("stub")
+    run_eval(agent, logdir, env, ["open_drawer"], eval_type="last",
+             eval_episodes=2, episode_length=3, lang_model=lang,
+             state_like=jax.device_get(state), record_every_n=2)
+    gifs = glob.glob(os.path.join(logdir, "videos", "*.gif"))
+    assert len(gifs) == 1  # episode 0 recorded, episode 1 not
