@@ -60,8 +60,30 @@ def generate_task(root: str, task: str, num_episodes: int = 2,
 
         front_pose = _look_at(center + np.array([0.0, -0.8, 0.5]), center)
         intr = _intrinsics(h, w, focal=float(w))
-        rgb = (rng.uniform(0, 255, (timesteps, h, w, 3))).astype(np.uint8)
+        rgb = (rng.uniform(0, 120, (timesteps, h, w, 3))).astype(np.uint8)
         depth = rng.uniform(0.8, 1.2, (timesteps, h, w)).astype(np.float32)
+
+        # Make the task LEARNABLE: paint a bright depth-consistent blob at the
+        # NEXT keyframe's gripper position in every frame — unprojecting the
+        # blob pixels reconstructs the BC translation target, so a trained
+        # voxel policy can actually succeed in the mock env (without this the
+        # observations are pure noise and 0% success is structural).
+        from manigaussian_tpu.data.keypoints import keypoint_discovery
+        kps = keypoint_discovery(gripper_open, joint_vel)
+        w2c = np.linalg.inv(front_pose)
+        for t in range(timesteps):
+            nxt = [k for k in kps if k > t]
+            target = pos[nxt[0] if nxt else (kps[-1] if kps else -1)]
+            xc = w2c[:3, :3] @ target + w2c[:3, 3]
+            if xc[2] <= 0.05:
+                continue
+            u = int(intr[0, 0] * xc[0] / xc[2] + intr[0, 2])
+            v = int(intr[1, 1] * xc[1] / xc[2] + intr[1, 2])
+            u0, u1 = max(0, u - 1), min(w, u + 2)
+            v0, v1 = max(0, v - 1), min(h, v + 2)
+            if u0 < u1 and v0 < v1:
+                depth[t, v0:v1, u0:u1] = xc[2]
+                rgb[t, v0:v1, u0:u1] = 255
 
         nerf = {}
         for t in range(timesteps - 1):  # last step has no nerf data (reference)

@@ -79,6 +79,9 @@ class MockEnvClient:
     def reset_to_demo(self, episode_index: int) -> EnvObservation:
         assert self.task is not None, "call set_task first"
         paths = ep.list_episodes(self.root, self.task)
+        assert paths, (f"no stored episodes for task {self.task!r} under "
+                       f"{self.root} — generate demos for every task in "
+                       f"cfg.rlbench.tasks")
         # wrap: eval protocols ask for 25 episodes (conf/eval.yaml) while CI
         # fixtures store fewer — recycle stored demos (mock-only convenience;
         # the real env has one scene seed per requested episode)

@@ -55,6 +55,19 @@ SPLIT_DIMS = (3, 1, 3, 4, 3, 3, 9)  # Δxyz, opacity, scale, rot, sh_dc, embed, 
 MAX_SCALE = 0.05                    # clamp_max (models_embed.py:245-246)
 
 
+def _safe_normalize(x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """x/‖x‖ with a bounded, NaN-free gradient everywhere.
+
+    Two hazards in the naive x / max(‖x‖, eps) (the reference's F.normalize
+    semantics, eps 1e-12): (a) the gradient is O(1/‖x‖) — near-zero raw
+    quaternions emit unbounded gradients into the shared trunk (same rationale
+    as the renderer's feature normalize); (b) ‖·‖'s own gradient at exactly
+    zero is 0/0 = NaN, which the outer max cannot mask (0-cotangent × NaN).
+    sqrt(max(Σx², eps²)) avoids both and equals x/‖x‖ for ‖x‖ ≥ eps."""
+    sq = jnp.sum(x * x, axis=-1, keepdims=True)
+    return x / jnp.sqrt(jnp.maximum(sq, eps * eps))
+
+
 class GeneralizableGSEmbedNet(nn.Module):
     coordinate_bounds: tuple = (-0.3, -0.5, 0.6, 0.7, 0.5, 1.6)
     d_latent: int = 128
@@ -102,9 +115,12 @@ class GeneralizableGSEmbedNet(nn.Module):
 
         sh = jnp.concatenate([sh_dc[..., None, :],
                               sh_rest.reshape(B, N, 3, 3)], axis=-2)  # [B,N,4,3]
-        rot = rot_raw / jnp.maximum(
-            jnp.linalg.norm(rot_raw, axis=-1, keepdims=True), 1e-12)
-        scale = jnp.minimum(jnp.exp(scale_raw), MAX_SCALE)
+        rot = _safe_normalize(rot_raw)
+        # clamp BEFORE exp: min(exp(x), c) == exp(min(x, log c)) forward, but
+        # the former's backward is 0·exp(x) = 0·inf = NaN once exp overflows
+        # fp32 (x > ~88; measured as the root cause of a mid-training NaN —
+        # the reference's clamp_max(exp(...)) carries the same hazard)
+        scale = jnp.exp(jnp.minimum(scale_raw, jnp.log(MAX_SCALE)))
 
         params = GaussianParams(
             xyz=xyz + d_xyz,
@@ -138,9 +154,7 @@ class GeneralizableGSEmbedNet(nn.Module):
                                 combine_layer=self.combine_layer,
                                 name="deformation")(dyna_in)
             next_xyz_d, next_rot_d = delta[..., :3], delta[..., 3:]
-            next_rot = sg(rot) + next_rot_d
-            next_rot = next_rot / jnp.maximum(
-                jnp.linalg.norm(next_rot, axis=-1, keepdims=True), 1e-12)
+            next_rot = _safe_normalize(sg(rot) + next_rot_d)
             params["next"] = GaussianParams(
                 xyz=sg(params["xyz"]) + next_xyz_d,
                 sh=sg(sh),

@@ -71,10 +71,11 @@ def _render_batch(params: dict, cameras, cfg: RasterizeConfig, bg_color,
         # eps 1e-6 (not 1e-12): the normalize gradient scales as 1/eps for
         # near-zero vectors — at 1e-12 a fresh regressor's ~0 embeddings emit
         # ~1e12-scale gradients into the shared voxel features and destabilize
-        # the whole policy (torch F.normalize default eps is 1e-12 but the
-        # reference never trains from embeddings this small at fp32 batch 1).
-        feat = feat / jnp.maximum(
-            jnp.linalg.norm(feat, axis=-1, keepdims=True), 1e-6)
+        # the whole policy. sqrt(max(Σx², eps²)) rather than max(‖x‖, eps):
+        # ‖·‖'s own gradient at exactly zero is NaN even under the max
+        # (see models/gaussian_regressor._safe_normalize).
+        feat = feat / jnp.sqrt(jnp.maximum(
+            jnp.sum(feat * feat, axis=-1, keepdims=True), 1e-12))
         if tile_mesh is not None:
             out, extras = rasterize_sharded(
                 tile_mesh, xyz, opacity[..., 0], camera, cfg, bg_color,

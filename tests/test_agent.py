@@ -29,7 +29,8 @@ def tiny_config(use_dynamic_field=False, use_neural_rendering=True,
         voxel_sizes=(20,), num_latents=32, latent_dim=32,
         transformer_depth=1, cross_dim_head=8, latent_dim_head=8,
         final_dim=16, neural_renderer=nr)
-    rlb = C.RLBenchConfig(camera_resolution=(16, 16))
+    # single-task fixture (the repo default is the paper's 10-task list)
+    rlb = C.RLBenchConfig(camera_resolution=(16, 16), tasks=("open_drawer",))
     return C.ManiGaussianConfig(method=method, rlbench=rlb)
 
 

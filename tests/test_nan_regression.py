@@ -138,3 +138,38 @@ def test_multi_step_degenerate_training_stays_finite():
         for path, leaf in jax.tree_util.tree_leaves_with_path(state.params):
             assert bool(jnp.isfinite(leaf).all()), (
                 f"step {i}: non-finite {jax.tree_util.keystr(path)}")
+
+
+def test_overflowed_scale_and_tiny_rot_finite_grads():
+    """Root cause of a mid-training NaN (round 3): once a scale logit crosses
+    ~88, min(exp(x), c)'s backward is 0·inf = NaN; near-zero raw quaternions
+    similarly emit O(1/eps) normalize gradients. Force both pathologies into
+    the regressor head and require finite gradients end-to-end."""
+    from manigaussian_tpu.models.gaussian_regressor import GeneralizableGSEmbedNet
+
+    net = GeneralizableGSEmbedNet(d_latent=8, d_hidden=16, n_blocks=2,
+                                  combine_layer=1)
+    xyz = jnp.array([[[0.2, 0.0, 1.1], [0.21, 0.01, 1.11]]])   # [1, 2, 3]
+    vox = jnp.zeros((1, 4, 4, 4, 8))
+    variables = net.init(jax.random.PRNGKey(0), xyz, vox)
+
+    # regresser output = Dense(h); force the scale split's bias to +200
+    # (exp overflow) and the rot split's kernel+bias to ~0 (zero-norm quat)
+    p = jax.device_get(variables)
+    dense = p["params"]["regresser"]["Dense_0"]
+    b = np.asarray(dense["bias"]).copy()
+    k = np.asarray(dense["kernel"]).copy()
+    b[4:7] = 200.0          # scale split (after Δxyz 3 + opacity 1)
+    b[7:11] = 0.0           # rot split
+    k[:, 7:11] = 0.0
+    dense["bias"], dense["kernel"] = jnp.asarray(b), jnp.asarray(k)
+
+    def loss(v):
+        out = net.apply(v, xyz, vox)
+        return (jnp.sum(out["scale"]) + jnp.sum(out["rot"] ** 2)
+                + jnp.sum(out["xyz"] ** 2) + jnp.sum(out["opacity"]))
+
+    val, g = jax.value_and_grad(loss)(p)
+    assert bool(jnp.isfinite(val))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(g):
+        assert bool(jnp.isfinite(leaf).all()), jax.tree_util.keystr(path)

@@ -153,9 +153,14 @@ def _run_seed(args, cfg, seed):
                                                         extract_gt_embed)
         extractor = create_feature_extractor(
             fm_name, cfg.method.neural_renderer.foundation_checkpoint)
-        embed_fn = jax.jit(functools.partial(
+        embed_fn = functools.partial(
             extract_gt_embed, extractor=extractor,
-            d_embed=cfg.method.neural_renderer.d_embed))
+            d_embed=cfg.method.neural_renderer.d_embed)
+        # jit only pure-jax extractors; the transformers-backed ones run
+        # torch inside __call__ and cannot trace
+        from manigaussian_tpu.models.foundation import DINOv2FeatureExtractor
+        if not isinstance(extractor, DINOv2FeatureExtractor):
+            embed_fn = jax.jit(embed_fn)
 
     batches = BatchIterator(
         replay, cfg.replay.batch_size, seed=seed,
