@@ -122,6 +122,33 @@ def bench_conv():
                     "fwd_bwd_ms": round(t_fb * 1e3, 2)})
 
 
+def bench_unet():
+    """Whole voxel U-Net fwd+bwd at flagship dims (the tiny-channel stages run
+    at 8-16 of 128 lanes — round-2 backlog; this pins the number before any
+    channel-packing work)."""
+    import jax
+    import jax.numpy as jnp
+
+    from manigaussian_tpu.models.unet3d import VoxelUNetShallow
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 100, 100, 100, 10),
+                          jnp.float32)
+    net = VoxelUNetShallow(dtype=jnp.bfloat16)
+    v = net.init(jax.random.PRNGKey(1), x)
+
+    fwd = jax.jit(lambda p, x: net.apply(p, x)[0])
+    t_f = timeit(fwd, v, x, iters=20)
+
+    def loss(p, x):
+        out, _ = net.apply(p, x)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    g = jax.jit(jax.grad(loss, argnums=(0, 1)))
+    t_fb = timeit(g, v, x, iters=20)
+    record({"exp": "unet100", "fwd_ms": round(t_f * 1e3, 2),
+            "fwd_bwd_ms": round(t_fb * 1e3, 2)})
+
+
 def bench_train_step(conv_impl: str):
     import dataclasses
 
@@ -166,6 +193,8 @@ def main():
         bench_renderer()
     if "conv" not in skip:
         bench_conv()
+    if "unet" not in skip:
+        bench_unet()
     if "step" not in skip:
         for impl in args.step_impls.split(","):
             bench_train_step(impl)
