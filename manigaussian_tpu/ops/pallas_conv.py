@@ -42,8 +42,27 @@ def _pick_tiles(d: int, h: int) -> tuple[int, int]:
     return best
 
 
-def _fwd_kernel(xp_hbm, w_ref, o_ref, xbuf, sem, *, bd, bh, w_out, ci, co):
-    """One output tile [bd, bh, W, Co] = Σ_27 shifted-slice @ w[o]."""
+def _roll_rows(v, shift):
+    """jnp.roll along axis 0 that lowers on Mosaic (sublane rotate) and falls
+    back to jnp.roll under interpret mode / CPU."""
+    try:
+        return pltpu.roll(v, shift, 0)
+    except Exception:  # interpret-mode paths without a roll rule
+        return jnp.roll(v, shift, 0)
+
+
+def _fwd_kernel(xp_hbm, w_ref, o_ref, xbuf, sem, *, bd, bh, wp, ci, co):
+    """One output tile [bd, bh, WP, Co].
+
+    Mosaic alignment strategy: the W axis is the sublane (second-minor) dim of
+    every memref, so slicing it at the ox ∈ {0,1,2} taps is illegal unless
+    8-aligned. Instead the wrapper pads W so WP % 8 == 0, the kernel matmuls
+    FULL padded planes (only the untiled D/H dims are ever sliced), and the
+    ox shift becomes a row roll of the flattened (bd·bh·WP, Co) accumulators:
+        out[r] = Σ_ox F_ox[r + ox]  ⇒  acc = F_0 + roll(F_1,-1) + roll(F_2,-2).
+    Rolls are linear, so 27 taps need only 2 rolls. Rows that cross a W-block
+    boundary under the roll only ever land in the discarded pad rows
+    (x ≥ W+2 is zero; outputs keep x < W)."""
     i = pl.program_id(0)
     j = pl.program_id(1)
     dma = pltpu.make_async_copy(
@@ -51,24 +70,27 @@ def _fwd_kernel(xp_hbm, w_ref, o_ref, xbuf, sem, *, bd, bh, w_out, ci, co):
         xbuf, sem)
     dma.start()
     dma.wait()
-    m = bd * bh * w_out
-    acc = jnp.zeros((m, co), jnp.float32)
+    m = bd * bh * wp
+    accs = [jnp.zeros((m, co), jnp.float32) for _ in range(3)]
     for oz in range(3):
         for oy in range(3):
+            p = xbuf[oz:oz + bd, oy:oy + bh].reshape(m, ci)
             for ox in range(3):
                 o = (oz * 3 + oy) * 3 + ox
-                xs = xbuf[oz:oz + bd, oy:oy + bh, ox:ox + w_out, :]
-                acc += jnp.dot(xs.reshape(m, ci), w_ref[o],
-                               preferred_element_type=jnp.float32)
-    o_ref[:] = acc.reshape(bd, bh, w_out, co)
+                accs[ox] += jnp.dot(p, w_ref[o],
+                                    preferred_element_type=jnp.float32)
+    acc = accs[0] + _roll_rows(accs[1], -1) + _roll_rows(accs[2], -2)
+    o_ref[:] = acc.reshape(bd, bh, wp, co)
 
 
-def _dw_kernel(xp_hbm, dy_ref, dw_ref, xbuf, sem, *, bd, bh, w_out, ci, co):
-    """dW[o] += slice_o(x_tile)^T @ dy_tile, accumulated across the grid.
+def _dw_kernel(xp_hbm, dy_ref, dw_ref, xbuf, sem, *, bd, bh, wp, ci, co):
+    """dW[o] += x_plane^T @ rolled dy_tile, accumulated across the grid.
 
     TPU grid steps run sequentially, so mapping every step to the same output
     block turns the output into a deterministic accumulator (the replacement
-    for CUDA's atomicAdd into dL/dW, backward.cu:541-590)."""
+    for CUDA's atomicAdd into dL/dW, backward.cu:541-590). Same roll trick as
+    _fwd_kernel: Σ_r P[r+ox]·dy[r] = P^T @ roll(dy, +ox); dy's pad rows are
+    zero so wrapped rows contribute nothing."""
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -81,15 +103,16 @@ def _dw_kernel(xp_hbm, dy_ref, dw_ref, xbuf, sem, *, bd, bh, w_out, ci, co):
         xbuf, sem)
     dma.start()
     dma.wait()
-    m = bd * bh * w_out
-    dy = dy_ref[:].reshape(m, co)
+    m = bd * bh * wp
+    dy0 = dy_ref[:].reshape(m, co)
+    dys = [dy0, _roll_rows(dy0, 1), _roll_rows(dy0, 2)]
     for oz in range(3):
         for oy in range(3):
+            p = xbuf[oz:oz + bd, oy:oy + bh].reshape(m, ci)
             for ox in range(3):
                 o = (oz * 3 + oy) * 3 + ox
-                xs = xbuf[oz:oz + bd, oy:oy + bh, ox:ox + w_out, :]
                 contrib = jax.lax.dot_general(
-                    xs.reshape(m, ci), dy, (((0,), (0,)), ((), ())),
+                    p, dys[ox], (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 dw_ref[o] += contrib
 
@@ -100,12 +123,13 @@ def _conv3d_raw(x: jnp.ndarray, w: jnp.ndarray, *, interpret: bool):
     d, h, w_sp, ci = x.shape
     co = w.shape[-1]
     bd, bh = _pick_tiles(d, h)
-    xp = jnp.pad(x, ((1, 1), (1, 1), (1, 1), (0, 0)))
+    wp = -(-(w_sp + 2) // 8) * 8  # sublane-aligned padded W plane
+    xp = jnp.pad(x, ((1, 1), (1, 1), (1, wp - w_sp - 1), (0, 0)))
     wm = w.reshape(27, ci, co).astype(x.dtype)
     grid = (d // bd, h // bh)
-    kern = functools.partial(_fwd_kernel, bd=bd, bh=bh, w_out=w_sp,
+    kern = functools.partial(_fwd_kernel, bd=bd, bh=bh, wp=wp,
                              ci=ci, co=co)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
@@ -113,15 +137,16 @@ def _conv3d_raw(x: jnp.ndarray, w: jnp.ndarray, *, interpret: bool):
             pl.BlockSpec((27, ci, co), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bd, bh, w_sp, co), lambda i, j: (i, j, 0, 0),
+        out_specs=pl.BlockSpec((bd, bh, wp, co), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((d, h, w_sp, co), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((d, h, wp, co), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((bd + 2, bh + 2, w_sp + 2, ci), x.dtype),
+            pltpu.VMEM((bd + 2, bh + 2, wp, ci), x.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
     )(xp, wm)
+    return out[:, :, :w_sp, :]
 
 
 def _conv3d_dw(x: jnp.ndarray, dy: jnp.ndarray, *, interpret: bool):
@@ -129,27 +154,30 @@ def _conv3d_dw(x: jnp.ndarray, dy: jnp.ndarray, *, interpret: bool):
     d, h, w_sp, ci = x.shape
     co = dy.shape[-1]
     bd, bh = _pick_tiles(d, h)
-    xp = jnp.pad(x, ((1, 1), (1, 1), (1, 1), (0, 0)))
+    wp = -(-(w_sp + 2) // 8) * 8
+    xp = jnp.pad(x, ((1, 1), (1, 1), (1, wp - w_sp - 1), (0, 0)))
+    dyp = jnp.pad(dy.astype(x.dtype),
+                  ((0, 0), (0, 0), (0, wp - w_sp), (0, 0)))
     grid = (d // bd, h // bh)
-    kern = functools.partial(_dw_kernel, bd=bd, bh=bh, w_out=w_sp,
+    kern = functools.partial(_dw_kernel, bd=bd, bh=bh, wp=wp,
                              ci=ci, co=co)
     dw = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((bd, bh, w_sp, co), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((bd, bh, wp, co), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((27, ci, co), lambda i, j: (0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((27, ci, co), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((bd + 2, bh + 2, w_sp + 2, ci), x.dtype),
+            pltpu.VMEM((bd + 2, bh + 2, wp, ci), x.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(xp, dy.astype(x.dtype))
+    )(xp, dyp)
     return dw.reshape(3, 3, 3, ci, co)
 
 

@@ -84,22 +84,22 @@ def bench_renderer():
                     "vs_single_level": round(r2 / r, 3)})
 
 
-def bench_conv():
+def bench_conv(impls, shapes):
     import jax
     import jax.numpy as jnp
 
     from manigaussian_tpu.models.blocks import Conv3DBlock
 
-    for ci, co in ((256, 128), (128, 128)):
+    for ci, co in shapes:
         x = jax.random.normal(jax.random.PRNGKey(0), (1, 100, 100, 100, ci),
                               jnp.bfloat16)
-        for impl in ("xla", "z2d", "pallas"):
+        for impl in impls:
             block = Conv3DBlock(co, 3, 1, "lrelu", dtype=jnp.bfloat16,
                                 pad_mode="zero", impl=impl)
-            v = block.init(jax.random.PRNGKey(1), x)
 
             fwd = jax.jit(lambda p, x, b=block: b.apply(p, x))
             try:
+                v = block.init(jax.random.PRNGKey(1), x)
                 t_f = timeit(fwd, v, x, iters=20)
             except Exception as e:  # noqa: BLE001 — report and continue
                 record({"exp": "conv100", "ci": ci, "co": co, "impl": impl,
@@ -181,8 +181,11 @@ def bench_train_step(conv_impl: str):
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--skip", default="", help="comma list: renderer,conv,step")
+    parser.add_argument("--skip", default="", help="comma list: renderer,conv,unet,step")
     parser.add_argument("--step-impls", default="xla,z2d,pallas")
+    parser.add_argument("--conv-impls", default="xla,z2d,pallas")
+    parser.add_argument("--conv-shapes", default="256:128,128:128",
+                        help="comma list of ci:co pairs")
     args = parser.parse_args()
     skip = set(args.skip.split(",")) if args.skip else set()
 
@@ -192,12 +195,22 @@ def main():
     if "renderer" not in skip:
         bench_renderer()
     if "conv" not in skip:
-        bench_conv()
+        shapes = [tuple(int(v) for v in s.split(":"))
+                  for s in args.conv_shapes.split(",")]
+        bench_conv(args.conv_impls.split(","), shapes)
     if "unet" not in skip:
-        bench_unet()
+        try:
+            bench_unet()
+        except Exception as e:  # noqa: BLE001 — report and continue
+            record({"exp": "unet100",
+                    "error": f"{type(e).__name__}: {e}"[:300]})
     if "step" not in skip:
         for impl in args.step_impls.split(","):
-            bench_train_step(impl)
+            try:
+                bench_train_step(impl)
+            except Exception as e:  # noqa: BLE001 — report and continue
+                record({"exp": "w_geo_train_step", "conv_impl": impl,
+                        "error": f"{type(e).__name__}: {e}"[:300]})
 
 
 if __name__ == "__main__":
