@@ -129,7 +129,10 @@ class MethodConfig:
     # Implementation of the two hot 100³ tail convs (`final`, up0 post-resize),
     # zero-pad mode only: 'xla' (nn.Conv) | 'z2d' (3 batched 2D convs) |
     # 'pallas' (ops/pallas_conv halo-tile MXU kernel). See blocks.Conv3DBlock.
-    policy_conv_impl: str = "xla"
+    # Default 'z2d': measured on v5e (R3_SWEEP.jsonl) — 256→128 100³ conv
+    # fwd+bwd 38.5 ms vs 52.9 ms for 'xla'; flagship w_geo train step
+    # 4.40 steps/s vs 3.88.
+    policy_conv_impl: str = "z2d"
     # training
     input_dropout: float = 0.1
     attn_dropout: float = 0.1
