@@ -15,19 +15,26 @@ import jax
 import jax.numpy as jnp
 
 
-def slope_time(make_chain, lo, hi):
-    """Time make_chain(k) at k=lo and k=hi; return per-iter slope seconds."""
+def slope_time(make_chain, lo, hi, repeats: int = 3):
+    """Time make_chain(k) at k=lo and k=hi (min of `repeats` runs each);
+    return per-iter slope seconds plus the raw samples."""
     def timed(fn, *args):
         out = fn(*args)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        return time.perf_counter() - t0
+        jax.block_until_ready(out)  # warm-up / compile
+        samples = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            out = fn(*args)
+            jax.block_until_ready(out)
+            samples.append(time.perf_counter() - t0)
+        return min(samples), samples
     f_lo, args = make_chain(lo)
     f_hi, _ = make_chain(hi)
-    t_lo = timed(f_lo, *args)
-    t_hi = timed(f_hi, *args)
+    t_lo, s_lo = timed(f_lo, *args)
+    t_hi, s_hi = timed(f_hi, *args)
+    print(json.dumps({"raw_samples": {"lo": [round(s * 1e3, 2) for s in s_lo],
+                                      "hi": [round(s * 1e3, 2) for s in s_hi]}}),
+          flush=True)
     return (t_hi - t_lo) / (hi - lo), t_lo, t_hi
 
 

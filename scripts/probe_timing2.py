@@ -51,8 +51,6 @@ t_chain = time.perf_counter() - t0
 # numerics check on a tiny slice vs CPU
 xs = np.asarray(x[:8, :8, :8], dtype=np.float32)
 ws = np.asarray(w, dtype=np.float32)
-from jax import device_put
-cpu = jax.devices("cpu")[0] if any(d.platform == "cpu" for d in jax.devices()) else None
 # CPU oracle via numpy direct conv on the tiny slice
 def conv_np(x, w):
     D, H, W, Ci = x.shape
@@ -66,7 +64,8 @@ def conv_np(x, w):
                                  xp[oz:oz+D, oy:oy+H, ox:ox+W], w[oz, oy, ox])
     return out
 ref = conv_np(xs, ws)
-got = np.asarray(conv(jnp.asarray(xs, jnp.bfloat16)[:8, :8, :8] if False else jnp.asarray(xs).astype(jnp.bfloat16), jnp.asarray(ws).astype(jnp.bfloat16)), dtype=np.float32)
+got = np.asarray(conv(jnp.asarray(xs).astype(jnp.bfloat16),
+                      jnp.asarray(ws).astype(jnp.bfloat16)), dtype=np.float32)
 err = np.max(np.abs(got - ref)) / (np.max(np.abs(ref)) + 1e-8)
 
 print(json.dumps({"exp": "timing_probe2",

@@ -49,12 +49,20 @@ for pf in pftrace:
             nm = ev.get("args", {}).get("name", "")
             if "TPU" in nm or "Device" in nm or "device" in nm:
                 dev_pids.add(ev.get("pid"))
+    if not dev_pids:
+        # summing every pid would double-count host threads on top of device
+        # lanes and make 'total traced' fiction — refuse instead of guessing
+        raise SystemExit(f"no TPU/device pid metadata in {pf}; cannot "
+                         "attribute durations to a device lane")
+    # one device lane only; 'X' events still nest (fusion parents wrap
+    # children) so this total is an upper bound on busy time per lane
+    lane = min(dev_pids)
     for ev in tr.get("traceEvents", []):
-        if ev.get("ph") == "X" and "dur" in ev and (
-                not dev_pids or ev.get("pid") in dev_pids):
+        if ev.get("ph") == "X" and "dur" in ev and ev.get("pid") == lane:
             durs[ev.get("name", "?")] += ev["dur"]
             total += ev["dur"]
 
-print(f"total traced: {total/1000/ITERS:.1f} ms/step over {ITERS} steps")
+print(f"total traced (one device lane, nesting-inclusive upper bound): "
+      f"{total/1000/ITERS:.1f} ms/step over {ITERS} steps")
 for name, d in durs.most_common(60):
     print(f"{d/1000/ITERS:9.2f} ms  {name[:140]}", flush=True)
