@@ -133,6 +133,10 @@ class MethodConfig:
     # fwd+bwd 38.5 ms vs 52.9 ms for 'xla'; flagship w_geo train step
     # 4.40 steps/s vs 3.88.
     policy_conv_impl: str = "z2d"
+    # voxel U-Net encoder impl: 'xla' | 'packed' (space-to-channel packing of
+    # the 8/16-channel 100³/50³ stages, models/packed3d.py — same math, ~8×
+    # less lane-padded HBM traffic). Flip after on-chip measurement.
+    policy_unet_impl: str = "xla"
     # training
     input_dropout: float = 0.1
     attn_dropout: float = 0.1
@@ -279,6 +283,36 @@ def w_geo_sem_dyna() -> ManiGaussianConfig:
     return _rep(c, method=_rep(c.method, neural_renderer=_rep(
         c.method.neural_renderer, foundation_model_name="diffusion",
         use_dynamic_field=True, lambda_dyna=0.1, render_freq=2000)))
+
+
+def micro_w_geo(tasks=("open_drawer",), iterations: int = 3000,
+                save_freq: int = 500, batch_size: int = 4,
+                lr: float = 2e-3) -> ManiGaussianConfig:
+    """CI/artifact-scale w_geo: tiny dims so seeds train on CPU in minutes.
+
+    LAMB's layer-wise trust ratio caps every layer at ~lr relative change per
+    step (utils/optimizers.py), so total optimization progress ≈ iters × lr.
+    The reference budget is 100k × 5e-4 = 50; a micro run must raise lr (and
+    batch size, against bs-1 gradient noise) to converge inside a CI budget —
+    3000 × 2e-3 = 6 suffices at this scale (R4 learning diagnostic,
+    scripts/diagnose_learning.py)."""
+    cfg = w_geo()
+    m = _rep(
+        cfg.method, voxel_sizes=(20,), num_latents=32, latent_dim=32,
+        transformer_depth=1, cross_dim_head=8, latent_dim_head=8,
+        final_dim=16, policy_dtype="float32", grad_clip_norm=5.0, lr=lr,
+        neural_renderer=_rep(
+            cfg.method.neural_renderer, image_width=32, image_height=32,
+            d_latent=16, tile_capacity=64, max_tiles_per_gaussian=4, chunk=32,
+            mlp=_rep(cfg.method.neural_renderer.mlp,
+                     n_blocks=2, d_hidden=32)))
+    return _rep(
+        cfg, method=m,
+        rlbench=_rep(cfg.rlbench, tasks=tuple(tasks), demos=2,
+                     camera_resolution=(16, 16), episode_length=8),
+        replay=_rep(cfg.replay, use_disk=False, batch_size=batch_size),
+        framework=_rep(cfg.framework, training_iterations=iterations,
+                       save_freq=save_freq, log_freq=25, use_wandb=False))
 
 
 VARIANTS = {

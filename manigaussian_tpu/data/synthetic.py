@@ -67,13 +67,22 @@ def generate_task(root: str, task: str, num_episodes: int = 2,
         # NEXT keyframe's gripper position in every frame — unprojecting the
         # blob pixels reconstructs the BC translation target, so a trained
         # voxel policy can actually succeed in the mock env (without this the
-        # observations are pure noise and 0% success is structural).
+        # observations are pure noise and 0% success is structural). The blob
+        # COLOR encodes the next keyframe's gripper bit (white=open, red=
+        # close): (time, proprio) alone don't determine the grip label for
+        # start-augmented transitions, so without a visual cue the grip head
+        # can only memorize — like a real scene, the object's appearance
+        # signals grasp vs release.
         from manigaussian_tpu.data.keypoints import keypoint_discovery
         kps = keypoint_discovery(gripper_open, joint_vel)
         w2c = np.linalg.inv(front_pose)
         for t in range(timesteps):
             nxt = [k for k in kps if k > t]
-            target = pos[nxt[0] if nxt else (kps[-1] if kps else -1)]
+            kp = nxt[0] if nxt else (kps[-1] if kps else -1)
+            target = pos[kp]
+            color = (np.array([255, 255, 255], np.uint8)
+                     if gripper_open[kp] > 0.5
+                     else np.array([255, 0, 0], np.uint8))
             xc = w2c[:3, :3] @ target + w2c[:3, 3]
             if xc[2] <= 0.05:
                 continue
@@ -83,7 +92,7 @@ def generate_task(root: str, task: str, num_episodes: int = 2,
             v0, v1 = max(0, v - 1), min(h, v + 2)
             if u0 < u1 and v0 < v1:
                 depth[t, v0:v1, u0:u1] = xc[2]
-                rgb[t, v0:v1, u0:u1] = 255
+                rgb[t, v0:v1, u0:u1] = color
 
         nerf = {}
         for t in range(timesteps - 1):  # last step has no nerf data (reference)

@@ -26,8 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 TASKS = ["open_drawer", "turn_tap", "push_buttons"]
 
 
-def run(out_dir: str, seeds: int = 3, tasks=tuple(TASKS), iterations: int = 90,
-        save_freq: int = 30, episodes: int = 4, workers: int = 2,
+def run(out_dir: str, seeds: int = 3, tasks=tuple(TASKS), iterations: int = 3000,
+        save_freq: int = 500, episodes: int = 4, workers: int = 2,
         demo_root: str | None = None, work_dir: str | None = None,
         cpu_devices: int = 2) -> dict:
     import jax
@@ -49,30 +49,12 @@ def run(out_dir: str, seeds: int = 3, tasks=tuple(TASKS), iterations: int = 90,
     demo_root = demo_root or os.path.join(work_dir, "demos")
     os.makedirs(out_dir, exist_ok=True)
 
-    # micro config: tiny dims so 3 seeds train on CPU in minutes; the SHAPE of
-    # the artifact (multi-task, multi-seed, multi-checkpoint) is the point
-    cfg = C.w_geo()
-    # grad_clip_norm: batch-1 fp32 training of the tiny transformer blows up
-    # after a few hundred steps without it (config.py knob rationale)
-    m = dataclasses.replace(
-        cfg.method, voxel_sizes=(20,), num_latents=32, latent_dim=32,
-        transformer_depth=1, cross_dim_head=8, latent_dim_head=8,
-        final_dim=16, policy_dtype="float32", grad_clip_norm=5.0,
-        neural_renderer=dataclasses.replace(
-            cfg.method.neural_renderer, image_width=32, image_height=32,
-            d_latent=16, tile_capacity=64, max_tiles_per_gaussian=4, chunk=32,
-            mlp=dataclasses.replace(cfg.method.neural_renderer.mlp,
-                                    n_blocks=2, d_hidden=32)))
-    cfg = dataclasses.replace(
-        cfg,
-        method=m,
-        rlbench=dataclasses.replace(
-            cfg.rlbench, tasks=tuple(tasks), demos=2,
-            camera_resolution=(16, 16), episode_length=8),
-        replay=dataclasses.replace(cfg.replay, use_disk=False),
-        framework=dataclasses.replace(
-            cfg.framework, training_iterations=iterations,
-            save_freq=save_freq, log_freq=max(1, save_freq), use_wandb=False))
+    # micro config (config.micro_w_geo): tiny dims so 3 seeds train on CPU in
+    # under an hour each; the SHAPE of the artifact (multi-task, multi-seed,
+    # multi-checkpoint) matches the reference record, and the lr/batch
+    # overrides make LAMB converge inside the micro budget (see micro_w_geo
+    # docstring + scripts/diagnose_learning.py)
+    cfg = C.micro_w_geo(tasks, iterations, save_freq)
 
     for i, task in enumerate(tasks):
         if not os.path.isdir(os.path.join(demo_root, task)):
@@ -119,8 +101,8 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--out", default="results/synthetic_micro")
     parser.add_argument("--seeds", type=int, default=3)
-    parser.add_argument("--iterations", type=int, default=90)
-    parser.add_argument("--save-freq", type=int, default=30)
+    parser.add_argument("--iterations", type=int, default=3000)
+    parser.add_argument("--save-freq", type=int, default=500)
     parser.add_argument("--episodes", type=int, default=4,
                         help="eval episodes per task (mock env recycles "
                              "stored demos when fewer exist)")
