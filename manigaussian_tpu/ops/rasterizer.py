@@ -228,13 +228,30 @@ def _tile_gather(sorted_tile, sorted_gidx, num_tiles, k_cap):
     return gidx, in_list, counts, overflow
 
 
+def _untile(img: jnp.ndarray, cfg: RasterizeConfig) -> jnp.ndarray:
+    """[T, P, C] tile patches → [H, W, C] image (row-major tile order)."""
+    tiles_x = (cfg.width + cfg.tile - 1) // cfg.tile
+    tiles_y = (cfg.height + cfg.tile - 1) // cfg.tile
+    c = img.shape[-1]
+    img = img.reshape(tiles_y, tiles_x, cfg.tile, cfg.tile, c)
+    img = jnp.moveaxis(img, 2, 1).reshape(tiles_y * cfg.tile,
+                                          tiles_x * cfg.tile, c)
+    return img[:cfg.height, :cfg.width]
+
+
 def _blend_tiles(pre: gm.ProjectedGaussians, lang: jnp.ndarray,
                  gidx: jnp.ndarray, in_list: jnp.ndarray,
-                 cfg: RasterizeConfig, bg_color: jnp.ndarray):
+                 cfg: RasterizeConfig, bg_color: jnp.ndarray, tile_lo=0):
     """Chunked front-to-back blend over each tile's splat list.
 
     The per-chunk math mirrors renderCUDA's inner loop exactly but is expressed as
     cumulative sums + two matmuls per chunk so the MXU does the heavy lifting.
+
+    Returns PATCHES (color [T,P,3], lang [T,P,F], final_t [T,P]) — callers
+    assemble images with `_untile`. `tile_lo` (may be traced, e.g.
+    lax.axis_index) offsets local tile indices to GLOBAL ids so a sharded
+    caller owning tiles [tile_lo, tile_lo+T) blends at the right pixels — any
+    contiguous window works, not just whole tile rows.
     """
     tiles_x = (cfg.width + cfg.tile - 1) // cfg.tile
     num_tiles, k_cap = gidx.shape
@@ -244,7 +261,8 @@ def _blend_tiles(pre: gm.ProjectedGaussians, lang: jnp.ndarray,
     n_chunks = k_cap // chunk
 
     # Pixel coordinates per tile: [T, P, 2]
-    t_ids = jax.lax.broadcasted_iota(jnp.int32, (num_tiles, 1), 0).squeeze(-1)
+    t_ids = jax.lax.broadcasted_iota(jnp.int32, (num_tiles, 1), 0).squeeze(-1) \
+        + tile_lo
     origin_x = (t_ids % tiles_x) * cfg.tile
     origin_y = (t_ids // tiles_x) * cfg.tile
     local = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0).squeeze(-1)
@@ -311,35 +329,28 @@ def _blend_tiles(pre: gm.ProjectedGaussians, lang: jnp.ndarray,
 
     final_t = jnp.exp(log_t_final)                          # [T, P]
     color = color_acc + final_t[..., None] * bg_color[None, None, :]
-
-    def untile(img):                                        # [T, P, C] -> [H, W, C]
-        c = img.shape[-1]
-        img = img.reshape((cfg.height + cfg.tile - 1) // cfg.tile, tiles_x,
-                          cfg.tile, cfg.tile, c)
-        img = jnp.moveaxis(img, 2, 1).reshape(
-            ((cfg.height + cfg.tile - 1) // cfg.tile) * cfg.tile,
-            tiles_x * cfg.tile, c)
-        return img[:cfg.height, :cfg.width]
-
-    return (untile(color), untile(lang_acc),
-            untile(final_t[..., None])[..., 0])
+    return color, lang_acc, final_t
 
 
 def _blend_tiles_pallas_path(pre: gm.ProjectedGaussians, lang: jnp.ndarray,
                              gidx: jnp.ndarray, in_list: jnp.ndarray,
-                             cfg: RasterizeConfig, bg_color: jnp.ndarray):
+                             cfg: RasterizeConfig, bg_color: jnp.ndarray,
+                             tile_lo=0):
     """Gather per-tile splat lists and run the Pallas blend kernel.
 
     The gathers/transposes stay in XLA (autodiff turns them into the
     deterministic segment-sum accumulation replacing CUDA's atomicAdd); only
-    the pixel-blend recurrence runs in the hand-written kernel.
+    the pixel-blend recurrence runs in the hand-written kernel. Returns
+    PATCHES like `_blend_tiles`; `tile_lo` globalizes the tile window for
+    sharded callers.
     """
     from manigaussian_tpu.ops.pallas_blend import (blend_tiles_pallas,
                                                    gather_splats)
 
     tiles_x = (cfg.width + cfg.tile - 1) // cfg.tile
     num_tiles, k_cap = gidx.shape
-    t_ids = jax.lax.broadcasted_iota(jnp.int32, (num_tiles, 1), 0).squeeze(-1)
+    t_ids = jax.lax.broadcasted_iota(jnp.int32, (num_tiles, 1), 0).squeeze(-1) \
+        + tile_lo
     origins = jnp.stack([(t_ids % tiles_x) * cfg.tile,
                          (t_ids // tiles_x) * cfg.tile],
                         axis=-1).astype(jnp.float32)
@@ -377,17 +388,7 @@ def _blend_tiles_pallas_path(pre: gm.ProjectedGaussians, lang: jnp.ndarray,
     final_t = jnp.exp(logtf[:, 0, :])                       # [T, P]
     color = jnp.swapaxes(color_t, 1, 2) + final_t[..., None] * bg_color[None, None, :]
     lang_img = jnp.swapaxes(lang_t, 1, 2)
-
-    def untile(img):
-        c = img.shape[-1]
-        img = img.reshape((cfg.height + cfg.tile - 1) // cfg.tile, tiles_x,
-                          cfg.tile, cfg.tile, c)
-        img = jnp.moveaxis(img, 2, 1).reshape(
-            ((cfg.height + cfg.tile - 1) // cfg.tile) * cfg.tile,
-            tiles_x * cfg.tile, c)
-        return img[:cfg.height, :cfg.width]
-
-    return (untile(color), untile(lang_img), untile(final_t[..., None])[..., 0])
+    return color, lang_img, final_t
 
 
 def rasterize(means3d: jnp.ndarray,
@@ -424,11 +425,12 @@ def rasterize(means3d: jnp.ndarray,
         lang = language_features
 
     bg = jnp.asarray(bg_color, dtype=jnp.float32)
-    if cfg.backend == "pallas":
-        color, lang_img, final_t = _blend_tiles_pallas_path(
-            pre, lang, gidx, in_list, cfg, bg)
-    else:
-        color, lang_img, final_t = _blend_tiles(pre, lang, gidx, in_list, cfg, bg)
+    blend = (_blend_tiles_pallas_path if cfg.backend == "pallas"
+             else _blend_tiles)
+    color_p, lang_p, final_t_p = blend(pre, lang, gidx, in_list, cfg, bg)
+    color = _untile(color_p, cfg)
+    lang_img = _untile(lang_p, cfg)
+    final_t = _untile(final_t_p[..., None], cfg)[..., 0]
 
     out = RenderOutput(color=color, language_feature=lang_img,
                        radii=pre.radii, final_t=final_t)

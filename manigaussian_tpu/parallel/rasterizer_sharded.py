@@ -35,7 +35,8 @@ from manigaussian_tpu.ops import gaussian_math as gm
 from manigaussian_tpu.ops.rasterizer import (RasterizeConfig, RasterizeExtras,
                                              RenderOutput, _blend_tiles,
                                              _blend_tiles_pallas_path,
-                                             _build_keys, _tile_gather)
+                                             _build_keys, _tile_gather,
+                                             _untile)
 
 
 def rasterize_sharded(mesh: Mesh,
@@ -59,21 +60,20 @@ def rasterize_sharded(mesh: Mesh,
     n_dev = mesh.shape[axis]
     assert num_tiles % n_dev == 0, (num_tiles, n_dev)
     n_local = num_tiles // n_dev
-    assert n_local % tiles_x == 0, (
-        "tile rows must not straddle devices: tiles_per_device must be a "
-        f"multiple of tiles_x ({tiles_x})")
 
     lang = (language_features if language_features is not None
             else jnp.zeros((means3d.shape[0], 3), jnp.float32))
     bg = jnp.asarray(bg_color, jnp.float32)
 
-    def local_render_shifted(means3d, opacities, scales, rotations, shs, lang):
-        # The blend kernels derive pixel coords from LOCAL tile indices, so a
-        # device renders its row slab in a local frame: preprocess in global
-        # coords, subtract the slab's row offset from means2d before blending.
+    def local_render(means3d, opacities, scales, rotations, shs, lang):
+        # Each device blends its contiguous tile window [tile_lo, tile_lo +
+        # n_local) into PATCHES ([n_local, tile², C]); the blend kernels take
+        # the traced tile_lo and derive global pixel coordinates themselves,
+        # so ANY divisor of num_tiles works — the axis is no longer capped at
+        # tiles_y devices (round-3 whole-row constraint). The image is
+        # reassembled from the all_gathered patch list.
         didx = jax.lax.axis_index(axis)
         tile_lo = didx * n_local
-        row_off = (tile_lo // tiles_x) * cfg.tile
         pre = gm.preprocess(means3d, opacities, camera, cfg.width, cfg.height,
                             cfg.tile, scales=scales, rotations=rotations,
                             shs=shs, sh_degree=cfg.sh_degree)
@@ -81,20 +81,18 @@ def rasterize_sharded(mesh: Mesh,
             pre, cfg, tile_range=(tile_lo, n_local))
         gidx, in_list, counts, overflow_s = _tile_gather(
             sorted_tile, sorted_gidx, n_local, cfg.tile_capacity)
-        pre_local = pre._replace(
-            means2d=pre.means2d - jnp.array([0.0, 1.0]) * row_off)
-        rows_per_dev = cfg.height // n_dev
-        local_cfg = cfg._replace(height=rows_per_dev)
-        if cfg.backend == "pallas":
-            color, lang_img, final_t = _blend_tiles_pallas_path(
-                pre_local, lang, gidx, in_list, local_cfg, bg)
-        else:
-            color, lang_img, final_t = _blend_tiles(
-                pre_local, lang, gidx, in_list, local_cfg, bg)
-        color = jax.lax.all_gather(color, axis, tiled=True)
-        lang_img = jax.lax.all_gather(lang_img, axis, tiled=True)
-        final_t = jax.lax.all_gather(final_t, axis, tiled=True)
+        blend = (_blend_tiles_pallas_path if cfg.backend == "pallas"
+                 else _blend_tiles)
+        color_p, lang_p, final_t_p = blend(pre, lang, gidx, in_list, cfg, bg,
+                                           tile_lo=tile_lo)
+        # gather patches along the tile axis, then untile to images
+        color_p = jax.lax.all_gather(color_p, axis, tiled=True)
+        lang_p = jax.lax.all_gather(lang_p, axis, tiled=True)
+        final_t_p = jax.lax.all_gather(final_t_p, axis, tiled=True)
         counts = jax.lax.all_gather(counts, axis, tiled=True)
+        color = _untile(color_p, cfg)
+        lang_img = _untile(lang_p, cfg)
+        final_t = _untile(final_t_p[..., None], cfg)[..., 0]
         # tile_capacity overflow is a per-device count over its tile window;
         # rect-slot overflow is computed from replicated pre — identical
         # everywhere, no reduction needed.
@@ -108,7 +106,7 @@ def rasterize_sharded(mesh: Mesh,
     # (the configuration a real multi-chip pod runs; reference has only flat
     # DP, train.py:94).
     fn = shard_map(
-        local_render_shifted, mesh=mesh,
+        local_render, mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(), P()),
         out_specs=(P(), P(), P(), P(), P(), P(), P()),
         axis_names={axis}, check_vma=False)
