@@ -104,8 +104,14 @@ def _dw_kernel(xp_hbm, dy_ref, dw_ref, xbuf, sem, *, bd, bh, wp, ci, co):
     dma.start()
     dma.wait()
     m = bd * bh * wp
+    # Roll in fp32, cast to the MXU dtype AFTER: Mosaic's tpu.dynamic_rotate
+    # has no sub-32-bit lowering ("Rotate with non-32-bit data" — the r3
+    # HTTP-500 with the diagnostic swallowed by the tunnel). Cast commutes
+    # with the roll (elementwise), so results are bit-identical.
     dy0 = dy_ref[:].reshape(m, co)
-    dys = [dy0, _roll_rows(dy0, 1), _roll_rows(dy0, 2)]
+    dys = [dy0.astype(xbuf.dtype),
+           _roll_rows(dy0, 1).astype(xbuf.dtype),
+           _roll_rows(dy0, 2).astype(xbuf.dtype)]
     for oz in range(3):
         for oy in range(3):
             p = xbuf[oz:oz + bd, oy:oy + bh].reshape(m, ci)
@@ -156,7 +162,9 @@ def _conv3d_dw(x: jnp.ndarray, dy: jnp.ndarray, *, interpret: bool):
     bd, bh = _pick_tiles(d, h)
     wp = -(-(w_sp + 2) // 8) * 8
     xp = jnp.pad(x, ((1, 1), (1, 1), (1, wp - w_sp - 1), (0, 0)))
-    dyp = jnp.pad(dy.astype(x.dtype),
+    # dy stays fp32 into the kernel: the in-kernel roll needs 32-bit data
+    # (Mosaic dynamic_rotate limitation); the kernel downcasts post-roll.
+    dyp = jnp.pad(dy.astype(jnp.float32),
                   ((0, 0), (0, 0), (0, wp - w_sp), (0, 0)))
     grid = (d // bd, h // bh)
     kern = functools.partial(_dw_kernel, bd=bd, bh=bh, wp=wp,
