@@ -29,24 +29,42 @@ def main():
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=18861)
     parser.add_argument("--backend", default="rlbench",
-                        choices=["rlbench", "mock"])
-    parser.add_argument("--dataset-root", required=True)
+                        choices=["rlbench", "mock", "transcript"])
+    parser.add_argument("--dataset-root", default=None,
+                        help="demo root (rlbench/mock) — required unless "
+                             "--backend transcript")
+    parser.add_argument("--transcript", default=None,
+                        help="recorded session JSONL to replay "
+                             "(--backend transcript), see envs/transcript.py")
+    parser.add_argument("--record", default=None,
+                        help="record this session's call/response transcript "
+                             "to the given JSONL path (any backend)")
     parser.add_argument("--cameras", nargs="+", default=["front"])
     parser.add_argument("--image-size", type=int, default=128)
     parser.add_argument("--episode-length", type=int, default=25)
     parser.add_argument("--headless", action="store_true", default=True)
     args = parser.parse_args()
 
-    if args.backend == "rlbench":
+    if args.backend == "transcript":
+        assert args.transcript, "--backend transcript needs --transcript"
+        from manigaussian_tpu.envs.transcript import TranscriptReplayEnv
+        env = TranscriptReplayEnv(args.transcript)
+    elif args.backend == "rlbench":
+        assert args.dataset_root, "--backend rlbench needs --dataset-root"
         from manigaussian_tpu.envs.rlbench_env import RLBenchEnvClient
         env = RLBenchEnvClient(args.dataset_root, cameras=args.cameras,
                                image_size=(args.image_size, args.image_size),
                                episode_length=args.episode_length,
                                headless=args.headless)
     else:
+        assert args.dataset_root, "--backend mock needs --dataset-root"
         from manigaussian_tpu.envs.mock_env import MockEnvClient
         env = MockEnvClient(args.dataset_root, cameras=tuple(args.cameras),
                             episode_length=args.episode_length)
+
+    if args.record:
+        from manigaussian_tpu.envs.transcript import TranscriptRecorder
+        env = TranscriptRecorder(env, args.record)
 
     from manigaussian_tpu.envs.rpc import EnvRPCServer
     server = EnvRPCServer(env, host=args.host, port=args.port)
