@@ -66,6 +66,7 @@ class QFunction(nn.Module):
             dtype=jnp.dtype(getattr(m, "policy_dtype", "float32")),
             pad_mode=getattr(m, "policy_pad_mode", "edge"),
             conv_impl=getattr(m, "policy_conv_impl", "xla"),
+            unet_impl=getattr(m, "policy_unet_impl", "xla"),
             depth=m.transformer_depth,
             iterations=m.transformer_iterations,
             voxel_size=m.voxel_sizes[0],

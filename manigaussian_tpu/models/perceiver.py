@@ -145,6 +145,8 @@ class PerceiverVoxelLangEncoder(nn.Module):
     pad_mode: str = "edge"
     # implementation of the hot 100³ tail convs (MethodConfig.policy_conv_impl)
     conv_impl: str = "xla"
+    # voxel U-Net encoder impl (MethodConfig.policy_unet_impl)
+    unet_impl: str = "xla"
 
     @nn.compact
     def __call__(self, voxel_grid: jnp.ndarray, proprio: jnp.ndarray,
@@ -167,7 +169,8 @@ class PerceiverVoxelLangEncoder(nn.Module):
 
         d0, _multi_scale = VoxelUNetShallow(
             out_channels=self.im_channels, channels=tuple(self.unet_channels),
-            dtype=self.dtype, name="encoder_3d")(voxel_grid)   # [B,V,V,V,128]
+            dtype=self.dtype, impl=self.unet_impl,
+            name="encoder_3d")(voxel_grid)                     # [B,V,V,V,128]
 
         feats = [SpatialSoftmax3D()(d0),
                  jnp.max(d0, axis=(1, 2, 3))]                  # 3C + C
