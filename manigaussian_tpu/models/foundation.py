@@ -31,27 +31,60 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def pca_lowrank_v(features: jnp.ndarray, q: int = 6, niter: int = 2,
+                  key: Optional[jax.Array] = None) -> jnp.ndarray:
+    """Right singular vectors V [C, q] of the CENTERED features via randomized
+    SVD — the torch.pca_lowrank algorithm (Halko et al.; torch
+    _lowrank.py get_approximate_basis with niter=2), which is what the
+    reference actually calls (neural_rendering.py:159). All matmuls + tiny
+    QR/eigh — MXU-friendly, vs jnp.linalg.svd of [HW, C] which runs an
+    iterative decomposition over the full 512-wide matrix on TPU."""
+    hw, c = features.shape
+    q = min(q, hw, c)
+    mean = jnp.mean(features, axis=0, keepdims=True)
+    a = features - mean                                     # [HW, C]
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    omega = jax.random.normal(key, (c, q), features.dtype)  # torch: randn
+    qmat, _ = jnp.linalg.qr(a @ omega)                      # [HW, q]
+    for _ in range(niter):
+        qh, _ = jnp.linalg.qr(a.T @ qmat)                   # [C, q]
+        qmat, _ = jnp.linalg.qr(a @ qh)                     # [HW, q]
+    b = qmat.T @ a                                          # [q, C]
+    # V of B = eigenvectors of BᵀB restricted to the q-dim row space: do the
+    # tiny SVD via eigh of [q, q] gram in the B-row basis
+    _ub, _s, vbt = jnp.linalg.svd(b, full_matrices=False)   # [q,C] svd: cheap
+    return vbt.T                                            # [C, q]
+
+
 def pca_to_channels(features: jnp.ndarray, d_embed: int = 3,
-                    q: Optional[int] = None) -> jnp.ndarray:
+                    q: Optional[int] = None,
+                    method: str = "lowrank") -> jnp.ndarray:
     """Per-image PCA projection, parity with torch.pca_lowrank usage.
 
     features: [HW, C] → [HW, d_embed]: center → top-q right singular vectors V
     → project the UNcentered features (A @ V[:, :d_embed]), exactly like
     neural_rendering.py:159-162 (pca_lowrank centers internally; the reference
     multiplies raw A by V).
-    """
+
+    method: 'lowrank' (randomized q=6, niter=2 — the torch.pca_lowrank
+    algorithm the reference runs) or 'exact' (full SVD; deterministic,
+    sign-canonical upper bound used by tests)."""
     q = q or max(6, d_embed)
-    mean = jnp.mean(features, axis=0, keepdims=True)
-    centered = features - mean
-    # economical SVD of [HW, C]: right singular vectors of centered data
-    _u, _s, vt = jnp.linalg.svd(centered, full_matrices=False)
-    v = vt.T[:, :d_embed]
+    if method == "lowrank":
+        v = pca_lowrank_v(features, q=q)[:, :d_embed]
+    else:
+        mean = jnp.mean(features, axis=0, keepdims=True)
+        _u, _s, vt = jnp.linalg.svd(features - mean, full_matrices=False)
+        v = vt.T[:, :d_embed]
     return features @ v
 
 
-def pca_to_channels_batch(features: jnp.ndarray, d_embed: int = 3) -> jnp.ndarray:
+def pca_to_channels_batch(features: jnp.ndarray, d_embed: int = 3,
+                          method: str = "lowrank") -> jnp.ndarray:
     """[B, HW, C] → [B, HW, d_embed] (per-image PCA, like the reference loop)."""
-    return jax.vmap(lambda f: pca_to_channels(f, d_embed))(features)
+    return jax.vmap(lambda f: pca_to_channels(f, d_embed, method=method))(
+        features)
 
 
 class FeatureExtractor(Protocol):

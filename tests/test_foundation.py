@@ -30,6 +30,23 @@ def test_pca_matches_torch_pca_lowrank():
         assert min(d_same, d_flip) < 2e-3, (k, d_same, d_flip)
 
 
+def test_pca_lowrank_matches_exact_subspace():
+    """The randomized path ('lowrank', what the reference's torch.pca_lowrank
+    runs) and the exact-SVD path span the same top-3 projection on a
+    well-separated spectrum (projector Frobenius distance)."""
+    rs = np.random.RandomState(1)
+    basis = rs.randn(32, 32).astype(np.float32)
+    weights = rs.randn(400, 32).astype(np.float32) * (2.0 ** -np.arange(32))
+    A = jnp.array((weights @ basis).astype(np.float32))
+    lr = np.asarray(pca_to_channels(A, 3, method="lowrank"))
+    ex = np.asarray(pca_to_channels(A, 3, method="exact"))
+    # compare projections componentwise up to sign (like the torch test)
+    for k in range(3):
+        d = min(np.abs(lr[:, k] - ex[:, k]).max(),
+                np.abs(lr[:, k] + ex[:, k]).max())
+        assert d < 2e-3, (k, d)
+
+
 def test_stub_extractor_deterministic_and_shaped():
     ex = StubFeatureExtractor(out_channels=16)
     rgb = jax.random.uniform(jax.random.PRNGKey(0), (2, 16, 16, 3))
