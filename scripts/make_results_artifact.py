@@ -86,6 +86,14 @@ def run(out_dir: str, seeds: int = 3, tasks=tuple(TASKS), iterations: int = 3000
         csv_path = os.path.join(out_dir, f"{seed}.csv")
         df.to_csv(csv_path, index=False)
         seed_csvs.append(csv_path)
+        # training-curve log alongside the eval record (VERDICT r3 item 1)
+        train_csv = os.path.join(logdir, "train_data.csv")
+        if os.path.exists(train_csv):
+            shutil.copyfile(train_csv,
+                            os.path.join(out_dir, f"train_{seed}.csv"))
+        cfg_json = os.path.join(logdir, "config.json")
+        if seed == 0 and os.path.exists(cfg_json):
+            shutil.copyfile(cfg_json, os.path.join(out_dir, "config.json"))
         print(f"[artifact] seed {seed}: {len(rows)} checkpoints -> {csv_path}")
 
     summary = {}
