@@ -135,8 +135,10 @@ class MethodConfig:
     policy_conv_impl: str = "z2d"
     # voxel U-Net encoder impl: 'xla' | 'packed' (space-to-channel packing of
     # the 8/16-channel 100³/50³ stages, models/packed3d.py — same math, ~8×
-    # less lane-padded HBM traffic). Flip after on-chip measurement.
-    policy_unet_impl: str = "xla"
+    # less lane-padded HBM traffic). Default 'packed': measured on v5e
+    # (R4_SWEEP.jsonl) — flagship w_geo full step 4.70 steps/s (212.6 ms) vs
+    # 4.39 (227.7 ms) with 'xla'.
+    policy_unet_impl: str = "packed"
     # training
     input_dropout: float = 0.1
     attn_dropout: float = 0.1

@@ -47,7 +47,12 @@ class VoxelUNetShallow(nn.Module):
             z = nn.GroupNorm(num_groups=None, group_size=1)(z)
             return jax.nn.leaky_relu(z, 0.01)
 
-        if self.impl == "packed":
+        # Packed stages are exact only when the stride-2 output grid (V/2) is
+        # itself even: for V % 4 != 0 the packed stride-2 conv emits one extra
+        # (zero-padded) slot row whose instance-norm contribution diverges
+        # from the unpacked net. Fall back silently — 'packed' is a pure
+        # compute knob, never a semantics change.
+        if self.impl == "packed" and x.shape[1] % 4 == 0:
             return self._packed(x, up)
 
         voxel_list = [x]
