@@ -145,6 +145,7 @@ def test_sharded_replay_disjoint(dataset):
     assert len(i0) + len(i1) == base.size("open_drawer")
 
 
+@pytest.mark.slow
 def test_t5_language_model_reference_semantics():
     """T5 provider parity (reference helpers/language_model.py:14-32
     T5EmbeddingExtractor): ZERO sentence embedding [1024] and the RAW T5

@@ -3,6 +3,7 @@ backward's unverified atomicAdd races is associative segment math — verify the
 same inputs give bit-identical outputs and gradients run-to-run)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -37,6 +38,7 @@ def test_rasterizer_bitwise_deterministic():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_train_step_bitwise_deterministic():
     from tests.test_agent import make_batch, tiny_config
     from manigaussian_tpu.agents.bc_agent import ManiGaussianBCAgent

@@ -1,6 +1,7 @@
 """Coverage for small modules: stat accumulator, 3D attention, video, profiling."""
 
 import numpy as np
+import pytest
 
 from manigaussian_tpu.runners.stat_accumulator import SimpleAccumulator
 
@@ -25,6 +26,7 @@ def test_stat_accumulator_single_task_column():
     assert "eval_envs/return" in out
 
 
+@pytest.mark.slow
 def test_attention3d_shapes():
     import jax
     import jax.numpy as jnp

@@ -53,15 +53,18 @@ def test_tile_sharded_rasterizer_matches_single(backend):
                                   np.asarray(out_1.radii))
 
 
-@pytest.mark.parametrize("n_dev", [8, 2])
-def test_tile_sharded_sub_row_windows_match_single(n_dev):
+@pytest.mark.parametrize("n_dev,size,n", [
+    pytest.param(4, 32, 64, id="fast-4dev-1tile"),   # 1 tile/device < tiles_x
+    pytest.param(8, 64, 128, id="8dev-halfrow", marks=pytest.mark.slow),
+    pytest.param(2, 64, 128, id="2dev-2rows", marks=pytest.mark.slow),
+])
+def test_tile_sharded_sub_row_windows_match_single(n_dev, size, n):
     """Tile axes that DON'T align with whole tile rows (VERDICT r3 item 4:
     the round-3 ceiling was tiles_y devices). 8 devices over a 64² image =
-    2 tiles per device — half a tile row; 2 devices = 2 rows each."""
-    n = 128
+    2 tiles per device — half a tile row; 4 devices over 32² = 1 tile each."""
     scene = random_scene(jax.random.PRNGKey(2), n, spread=0.35)
-    c = make_camera(64, 64, focal=60.0)
-    cfg = rast.RasterizeConfig(width=64, height=64, tile=16,
+    c = make_camera(size, size, focal=60.0)
+    cfg = rast.RasterizeConfig(width=size, height=size, tile=16,
                                max_tiles_per_gaussian=16, tile_capacity=128,
                                chunk=64)
     mesh = make_mesh((n_dev,), ("tile",))

@@ -184,6 +184,7 @@ def test_gradients_match_finite_differences():
         np.testing.assert_allclose(float(g_opac[i]), float(fd), rtol=2e-2, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_pallas_vs_xla_backends_agree():
     """The two production backends run the same binning; fwd+grads must agree."""
     n = 128

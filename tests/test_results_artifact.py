@@ -55,8 +55,10 @@ def test_committed_artifact_format():
                         "synthetic_micro")
     if not os.path.isdir(root):
         pytest.skip("artifact not built in this checkout")
+    # seed eval CSVs are digit-named ({0,1,2}.csv); train_{k}.csv are the
+    # training-curve logs shipped alongside them
     csvs = sorted(os.path.join(root, f) for f in os.listdir(root)
-                  if f.endswith(".csv"))
+                  if f.endswith(".csv") and f[:-4].isdigit())
     assert len(csvs) >= 3, "3 seeds expected"
     from manigaussian_tpu.analysis.compute_results import aggregate
     for method in ("last", "best"):
