@@ -24,7 +24,9 @@ def main(argv=None):
     parser.add_argument("--demo-root", required=True)
     parser.add_argument("--env", default="mock",
                         help="mock | rlbench | rpc://HOST:PORT (simulator on "
-                             "a separate host, scripts/sim_host_server.py)")
+                             "a separate host, scripts/sim_host_server.py) | "
+                             "transcript://PATH.jsonl (recorded-session "
+                             "conformance replay, envs/transcript.py)")
     parser.add_argument("--eval-type", default="last",
                         help="missing | best | last | <int checkpoint>")
     parser.add_argument("--episodes", type=int, default=25)

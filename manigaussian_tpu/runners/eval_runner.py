@@ -231,6 +231,10 @@ def make_env(cfg, demo_root: str, env_kind: str) -> EnvClient:
         # simulator on a separate host (scripts/sim_host_server.py)
         from manigaussian_tpu.envs.rpc import RPCEnvClient
         return RPCEnvClient(env_kind)
+    if env_kind.startswith("transcript://"):
+        # recorded-session conformance double (envs/transcript.py)
+        from manigaussian_tpu.envs.transcript import TranscriptReplayEnv
+        return TranscriptReplayEnv(env_kind.removeprefix("transcript://"))
     from manigaussian_tpu.envs.rlbench_env import RLBenchEnvClient
     return RLBenchEnvClient(demo_root, cameras=cfg.rlbench.cameras,
                             episode_length=cfg.rlbench.episode_length)

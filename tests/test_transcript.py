@@ -160,3 +160,16 @@ def test_eval_conformance_through_rpc_replay(demo_root, tmp_path):
     replay.assert_exhausted()
     assert rows_rec[0]["eval_envs/return"] == rows_rpc[0]["eval_envs/return"]
     assert rows_rec[0]["step"] == rows_rpc[0]["step"]
+
+
+def test_make_env_transcript_scheme(demo_root, tmp_path):
+    """eval.py --env transcript://PATH resolves to the replay double."""
+    from manigaussian_tpu.runners.eval_runner import make_env
+    from tests.test_agent import tiny_config
+
+    path = str(tmp_path / "s.jsonl")
+    _drive(TranscriptRecorder(MockEnvClient(demo_root), path),
+           _oracle_actions(demo_root))
+    env = make_env(tiny_config(), demo_root, f"transcript://{path}")
+    assert isinstance(env, TranscriptReplayEnv)
+    assert len(env.records) > 0
