@@ -333,6 +333,8 @@ def main():
     parser.add_argument("--tiers",
                         default="w_geo,w_geo_dyna,w_geo_sem,w_geo_sem_dyna")
     parser.add_argument("--conv-impl", default="z2d")
+    parser.add_argument("--unet-impl", default="xla",
+                        help="policy U-Net impl for the tier table: xla|packed")
     args = parser.parse_args()
     skip = set(args.skip.split(",")) if args.skip else set()
 
@@ -351,7 +353,7 @@ def main():
     guard("renderer", bench_renderer)
     guard("micro", bench_micro)
     tier_rows = guard("tiers", bench_tiers, args.conv_impl,
-                      args.tiers.split(","))
+                      args.tiers.split(","), args.unet_impl)
     # packed-unet head-to-head on the flagship tier (VERDICT r3 item 3):
     # measured as a FULL-STEP delta, not a microbench
     guard("packed", bench_tiers, args.conv_impl, ["w_geo"], "packed")
