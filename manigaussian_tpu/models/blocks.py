@@ -15,6 +15,7 @@ TPU-first deviations (no weights are ported, so layout/init freedom is used):
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Optional, Sequence
 
 import jax
@@ -248,28 +249,96 @@ class ConvNormAct3D(nn.Module):
         return jax.nn.leaky_relu(x, 0.01)
 
 
+def _pos_grid(d: int, h: int, w: int) -> jnp.ndarray:
+    """[-1, 1]³ coordinate grid, row-major over (d, h, w) → [P, 3]."""
+    gd = jnp.linspace(-1.0, 1.0, d)
+    gh = jnp.linspace(-1.0, 1.0, h)
+    gw = jnp.linspace(-1.0, 1.0, w)
+    pos = jnp.stack(jnp.meshgrid(gd, gh, gw, indexing="ij"), axis=-1)
+    return pos.reshape(d * h * w, 3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _softargmax_and_max(xf, pos, temperature):
+    out, xmax, _, _ = _softargmax_fwd_impl(xf, pos, temperature)
+    return out, xmax
+
+
+def _softargmax_fwd_impl(xf, pos, t):
+    z = xf / t                                   # [B, P, C]
+    m = jnp.max(z, axis=1, keepdims=True)        # [B, 1, C]
+    xmax = jnp.max(xf, axis=1)                   # [B, C] (exact, not m*t —
+    # XLA fuses both reductions into the same pass over xf)
+    e = jnp.exp(z - m)
+    s0 = jnp.sum(e, axis=1)                      # [B, C]
+    s1 = jnp.einsum("bpc,pk->bck", e, pos)       # [B, C, 3]
+    out = s1 / s0[..., None]
+    return out, xmax, m, s0
+
+
+def _softargmax_vjp_fwd(xf, pos, temperature):
+    out, xmax, m, s0 = _softargmax_fwd_impl(xf, pos, temperature)
+    return (out, xmax), (xf, pos, m, s0, out, xmax)
+
+
+def _softargmax_vjp_bwd(temperature, res, cts):
+    """Recompute the softmax weights instead of saving the [B,P,C] attention
+    tensor (the autodiff path materializes it — ~512 MB at 100³×128 fp32).
+
+    d out_ck / d z_pc = attn_pc (pos_pk − out_ck); the max output's gradient
+    splits the cotangent equally over argmax ties (lax.reduce_max semantics,
+    matching what jnp.max's autodiff would produce)."""
+    xf, pos, m, s0, out, xmax = res
+    g_out, g_max = cts
+    z = xf / temperature
+    attn = jnp.exp(z - m) / s0[:, None, :]                 # [B, P, C]
+    proj = jnp.einsum("pk,bck->bpc", pos, g_out)           # [B, P, C]
+    dot = jnp.sum(out * g_out, axis=-1)                    # [B, C]
+    dz = attn * (proj - dot[:, None, :])
+    dx = dz / temperature
+    if g_max is not None:
+        tie = (xf == xmax[:, None, :]).astype(xf.dtype)    # [B, P, C]
+        cnt = jnp.sum(tie, axis=1, keepdims=True)
+        dx = dx + tie * (g_max[:, None, :] / cnt)
+    # pos is always a constant grid here; its cotangent is never consumed
+    # (one einsum saved per call) — do NOT differentiate w.r.t. pos upstream.
+    return dx, jnp.zeros_like(pos)
+
+
+_softargmax_and_max.defvjp(_softargmax_vjp_fwd, _softargmax_vjp_bwd)
+
+
+def spatial_softmax3d_with_max(x: jnp.ndarray, temperature: float = 0.01):
+    """Fused per-channel soft-argmax + per-channel max over a 3D grid.
+
+    Returns (expected [B, C*3], xmax [B, C]) — exactly
+    (SpatialSoftmax3D()(x), jnp.max(x, axis=(1,2,3))) but in one pass pair
+    with a hand-written VJP: the heads' feature summaries at 100³×128 were
+    the single largest policy-step stage on chip (14 ms fwd+bwd each via the
+    autodiff softmax path, which materializes the attention tensor twice).
+    Algebraically identical (softmax-weighted coordinate = Σe·pos / Σe);
+    fp-level difference is one deferred division.
+    """
+    b, d, h, w, c = x.shape
+    xf = x.astype(jnp.float32).reshape(b, d * h * w, c)
+    pos = _pos_grid(d, h, w)
+    out, xmax = _softargmax_and_max(xf, pos, float(temperature))
+    return out.reshape(b, c * 3), xmax
+
+
 class SpatialSoftmax3D(nn.Module):
     """Per-channel soft-argmax over a 3D grid → [B, C*3] expected coordinates.
 
     Parity: network_utils.py:927-963 (temperature 0.01, coords in [-1, 1]).
-    Channels-last input [B, D, H, W, C].
+    Channels-last input [B, D, H, W, C]. Delegates to the fused
+    `spatial_softmax3d_with_max` kernel (max output unused here).
     """
 
     temperature: float = 0.01
 
     @nn.compact
     def __call__(self, x):
-        b, d, h, w, c = x.shape
-        # softmax over ~1e6 positions: always float32 (bf16 inputs upcast)
-        flat = x.astype(jnp.float32).reshape(b, d * h * w, c) / self.temperature
-        attn = jax.nn.softmax(flat, axis=1)
-        gd = jnp.linspace(-1.0, 1.0, d)
-        gh = jnp.linspace(-1.0, 1.0, h)
-        gw = jnp.linspace(-1.0, 1.0, w)
-        pos = jnp.stack(jnp.meshgrid(gd, gh, gw, indexing="ij"), axis=-1)
-        pos = pos.reshape(d * h * w, 3)                       # [P, 3]
-        expected = jnp.einsum("bpc,pk->bck", attn, pos)        # [B, C, 3]
-        return expected.reshape(b, c * 3)
+        return spatial_softmax3d_with_max(x, self.temperature)[0]
 
 
 class Conv3DUpsampleBlock(nn.Module):

@@ -33,7 +33,8 @@ from flax import linen as nn
 
 from manigaussian_tpu.models.blocks import (ChannelProjectConv3D, Conv3DBlock,
                                             Conv3DUpsampleBlock, DenseBlock,
-                                            Patchify3D, SpatialSoftmax3D)
+                                            Patchify3D,
+                                            spatial_softmax3d_with_max)
 from manigaussian_tpu.models.unet3d import VoxelUNetShallow
 
 
@@ -172,8 +173,7 @@ class PerceiverVoxelLangEncoder(nn.Module):
             dtype=self.dtype, impl=self.unet_impl,
             name="encoder_3d")(voxel_grid)                     # [B,V,V,V,128]
 
-        feats = [SpatialSoftmax3D()(d0),
-                 jnp.max(d0, axis=(1, 2, 3))]                  # 3C + C
+        feats = list(spatial_softmax3d_with_max(d0))           # 3C + C
 
         # patchify: kernel==stride non-overlapping conv as reshape+matmul
         # (blocks.Patchify3D rationale — stride-5 conv backward is a Mosaic
@@ -230,7 +230,7 @@ class PerceiverVoxelLangEncoder(nn.Module):
         dec = dec[:, num_lang:]
         dec = dec.reshape(queries_shape)                       # [B,S,S,S,256]
 
-        feats.extend([SpatialSoftmax3D()(dec), jnp.max(dec, axis=(1, 2, 3))])
+        feats.extend(spatial_softmax3d_with_max(dec))
 
         up = Conv3DUpsampleBlock(self.final_dim, self.voxel_patch_stride,
                                  kernel_size=3, activation=self.activation,
@@ -265,7 +265,7 @@ class PerceiverVoxelLangEncoder(nn.Module):
         rot_grip_q = None
         collision_q = None
         if self.num_rotation_classes > 0:
-            feats.extend([SpatialSoftmax3D()(lat), jnp.max(lat, axis=(1, 2, 3))])
+            feats.extend(spatial_softmax3d_with_max(lat))
             h = DenseBlock(256, self.activation, name="dense0")(
                 jnp.concatenate(feats, axis=1))
             h = DenseBlock(self.final_dim, self.activation, name="dense1")(h)

@@ -2,6 +2,13 @@
 import os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp
+try:  # persistent compile cache (remote compiles are minutes each)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/root/.cache/jax_comp"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:
+    pass
 from manigaussian_tpu.ops import gaussian_math as gm
 from manigaussian_tpu.ops.rasterizer import (RasterizeConfig, _build_keys,
                                              _tile_gather)
@@ -15,12 +22,19 @@ cfg = RasterizeConfig(width=size, height=size, tile=16,
 means, scales, rotations, opacities, shs, lang = B.make_scene(jax.random.PRNGKey(0), n)
 
 
+def _sync(out):
+    """device_get of one element — block_until_ready is a silent no-op for
+    some executables on the axon backend (STATUS.md quirk)."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jax.device_get(leaf.ravel()[0]))
+
+
 def timeit(name, fn, *args, iters=20):
-    out = fn(*args); jax.block_until_ready(out)
+    out = fn(*args); _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     print(f"{name:40s} {(time.perf_counter()-t0)/iters*1000:8.2f} ms", flush=True)
 
 

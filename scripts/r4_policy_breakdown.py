@@ -26,21 +26,45 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 OUT = "R4_SWEEP.jsonl"
 
 
+def _setup_cache():
+    """Persistent compile cache BEFORE the first trace (remote compiles are
+    minutes each; __graft_entry__ sets this too, but only when imported)."""
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                         "/root/.cache/jax_comp"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+
 def record(row):
     print(json.dumps(row), flush=True)
     with open(OUT, "a") as f:
         f.write(json.dumps(row) + "\n")
 
 
-def timed_min(fn, *args, reps=3):
+def _sync(out):
+    """Force completion via a device→host fetch of ONE element.
+
+    jax.block_until_ready is a silent no-op for some executables on the axon
+    backend (STATUS.md quirk — the first breakdown run returned ~0 ms slopes
+    for every stage). Indexing the first element launches a tiny dependent
+    computation and device_get transfers 4 bytes; neither can be elided."""
     import jax
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jax.device_get(leaf.ravel()[0]))
+
+
+def timed_min(fn, *args, reps=3):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
         out = fn(*args)
-        jax.block_until_ready(out)
+        _sync(out)
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -294,6 +318,7 @@ def main():
     args = ap.parse_args()
     skip = set(args.skip.split(",")) if args.skip else set()
 
+    _setup_cache()
     import jax
     print(f"devices: {jax.devices()}", flush=True)
 
