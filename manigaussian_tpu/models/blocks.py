@@ -99,7 +99,10 @@ class Conv3DBlock(nn.Module):
                 y = conv3d_same_batched(xd, wd)
             else:  # z2d
                 y = _conv3d_as_2d(xd, wd)
-            return act_layer(self.activation)(y + bias)
+            # emit the compute dtype (accumulation stays f32 above) — matches
+            # the nn.Conv path, which also returns `dtype`; at bf16 the 100³
+            # outputs halve their HBM footprint for every downstream reader
+            return act_layer(self.activation)(y + bias).astype(self.dtype)
         if pad > 0 and self.pad_mode == "edge":
             x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (pad, pad), (0, 0)),
                         mode="edge")
@@ -265,10 +268,13 @@ def _softargmax_and_max(xf, pos, temperature):
 
 
 def _softargmax_fwd_impl(xf, pos, t):
-    z = xf / t                                   # [B, P, C]
+    # xf may be bf16: the f32 upcast happens INSIDE the op so it fuses into
+    # the reduction passes instead of materializing a f32 copy of the (often
+    # 512 MB-scale) input at the custom_vjp boundary
+    z = xf.astype(jnp.float32) / t               # [B, P, C]
     m = jnp.max(z, axis=1, keepdims=True)        # [B, 1, C]
-    xmax = jnp.max(xf, axis=1)                   # [B, C] (exact, not m*t —
-    # XLA fuses both reductions into the same pass over xf)
+    xmax = jnp.max(xf, axis=1).astype(jnp.float32)  # [B, C] (max is exact in
+    # any dtype; XLA fuses both reductions into the same pass over xf)
     e = jnp.exp(z - m)
     s0 = jnp.sum(e, axis=1)                      # [B, C]
     s1 = jnp.einsum("bpc,pk->bck", e, pos)       # [B, C, 3]
@@ -290,16 +296,19 @@ def _softargmax_vjp_bwd(temperature, res, cts):
     matching what jnp.max's autodiff would produce)."""
     xf, pos, m, s0, out, xmax = res
     g_out, g_max = cts
-    z = xf / temperature
+    z = xf.astype(jnp.float32) / temperature
     attn = jnp.exp(z - m) / s0[:, None, :]                 # [B, P, C]
     proj = jnp.einsum("pk,bck->bpc", pos, g_out)           # [B, P, C]
     dot = jnp.sum(out * g_out, axis=-1)                    # [B, C]
     dz = attn * (proj - dot[:, None, :])
     dx = dz / temperature
     if g_max is not None:
-        tie = (xf == xmax[:, None, :]).astype(xf.dtype)    # [B, P, C]
+        # tie mask in the input dtype (consistent with how xmax was reduced)
+        tie = (xf.astype(jnp.float32)
+               == xmax[:, None, :]).astype(jnp.float32)    # [B, P, C]
         cnt = jnp.sum(tie, axis=1, keepdims=True)
         dx = dx + tie * (g_max[:, None, :] / cnt)
+    dx = dx.astype(xf.dtype)
     # pos is always a constant grid here; its cotangent is never consumed
     # (one einsum saved per call) — do NOT differentiate w.r.t. pos upstream.
     return dx, jnp.zeros_like(pos)
@@ -320,8 +329,8 @@ def spatial_softmax3d_with_max(x: jnp.ndarray, temperature: float = 0.01):
     fp-level difference is one deferred division.
     """
     b, d, h, w, c = x.shape
-    xf = x.astype(jnp.float32).reshape(b, d * h * w, c)
-    pos = _pos_grid(d, h, w)
+    xf = x.reshape(b, d * h * w, c)   # dtype preserved; f32 upcast happens
+    pos = _pos_grid(d, h, w)          # inside the op (fuses into the reads)
     out, xmax = _softargmax_and_max(xf, pos, float(temperature))
     return out.reshape(b, c * 3), xmax
 

@@ -98,7 +98,11 @@ class GeneralizableGSEmbedNet(nn.Module):
 
         canon = world_to_canonical(xyz, jnp.asarray(self.coordinate_bounds))
         grid_coords = canon * 2.0 - 1.0                           # [-1,1]
-        point_latent = jax.vmap(trilinear_sample)(voxel_feat, grid_coords)  # [B,N,128]
+        # voxel_feat may arrive bf16 (policy_dtype storage of d0): gather the
+        # half-width volume, upcast at the MLP boundary — the regressor math
+        # itself stays float32
+        point_latent = jax.vmap(trilinear_sample)(
+            voxel_feat, grid_coords).astype(jnp.float32)          # [B,N,128]
 
         z_feature = code(canon)                                   # [B, N, 39]
         d_out = sum(SPLIT_DIMS)

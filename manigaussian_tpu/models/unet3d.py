@@ -69,8 +69,13 @@ class VoxelUNetShallow(nn.Module):
         x = conv2 + up(x, conv2.shape[1], c[1])                   # 50³
         voxel_list.append(x)
         x = conv0 + up(x, conv0.shape[1], c[0])                   # 100³
-        # 1×1 out conv in float32: d0 feeds the renderer's Gaussian regressor
-        x = nn.Conv(self.out_channels, (1, 1, 1))(x.astype(jnp.float32))
+        # 1×1 out conv in the compute dtype: d0 is the largest tensor in the
+        # net (100³×128) and is re-read many times (patchify, head summaries,
+        # skip concat, the renderer's trilinear sampling) — storing it bf16
+        # halves that HBM traffic (trace: the step is copy/reshape-bound).
+        # Consumers that need fp32 (softmax stats, the Gaussian regressor's
+        # MLP) upcast at their boundary. dtype=float32 restores exact parity.
+        x = nn.Conv(self.out_channels, (1, 1, 1), dtype=self.dtype)(x)
         return x, voxel_list
 
     def _packed(self, x, up):
@@ -106,5 +111,6 @@ class VoxelUNetShallow(nn.Module):
         voxel_list.append(x50)
         x100p = c0p + up_packed(x50, v, c[0])                     # V/2p
         x = channel_to_space(x100p)                               # V, c0
-        x = nn.Conv(self.out_channels, (1, 1, 1))(x.astype(jnp.float32))
+        # compute-dtype out conv — see the unpacked body's rationale
+        x = nn.Conv(self.out_channels, (1, 1, 1), dtype=self.dtype)(x)
         return x, voxel_list

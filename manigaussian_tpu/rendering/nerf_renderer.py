@@ -124,7 +124,9 @@ class GeneralizableNerf(nn.Module):
                                   include_input=True)
         z_feature = jnp.concatenate([code(canon), viewdirs], axis=-1)
 
-        latent = trilinear_sample(voxel_feat, canon)             # [N, d_latent]
+        # voxel_feat may arrive bf16 (policy_dtype storage of d0) — the NeRF
+        # MLP runs float32
+        latent = trilinear_sample(voxel_feat, canon).astype(jnp.float32)
         mlp_in = jnp.concatenate([latent, z_feature], axis=-1)
         out, _last = ResnetFC(
             d_out=4 + self.d_embed, n_blocks=self.n_blocks,
