@@ -30,6 +30,10 @@ def main(argv=None):
     parser.add_argument("--eval-type", default="last",
                         help="missing | best | last | <int checkpoint>")
     parser.add_argument("--episodes", type=int, default=25)
+    parser.add_argument("--episode-offset", type=int, default=0,
+                        help="start rollouts at this stored-episode index — "
+                             "held-out eval on episodes the replay fill never "
+                             "saw (train on 0..demos-1, eval from demos up)")
     parser.add_argument("--episode-length", type=int, default=25,
                         help="max steps per rollout (reference conf/eval.yaml"
                              ":9 uses 25; training config default is 15)")
@@ -72,7 +76,8 @@ def main(argv=None):
             cfg, args.logdir, args.demo_root, args.env,
             eval_type=eval_type, eval_episodes=args.episodes,
             num_workers=args.workers,
-            platform="cpu" if args.cpu else None)
+            platform="cpu" if args.cpu else None,
+            episode_offset=args.episode_offset)
         for r in rows:
             print(r)
         return
@@ -94,7 +99,8 @@ def main(argv=None):
                     eval_type=eval_type, eval_episodes=args.episodes,
                     episode_length=cfg.rlbench.episode_length,
                     lang_model=lang, state_like=state_like,
-                    record_every_n=args.record_every_n)
+                    record_every_n=args.record_every_n,
+                    episode_offset=args.episode_offset)
     for r in rows:
         print(r)
 

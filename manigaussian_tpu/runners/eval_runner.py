@@ -120,7 +120,8 @@ def evaluate_checkpoint(agent: ManiGaussianBCAgent, logdir: str, step: int,
                         env: EnvClient, tasks: Sequence[str],
                         eval_episodes: int, episode_length: int,
                         lang_model, state_like,
-                        record_every_n: int = 0) -> Dict[str, float]:
+                        record_every_n: int = 0,
+                        episode_offset: int = 0) -> Dict[str, float]:
     state, _ = restore_checkpoint(logdir, state_like, step=step)
     assert state is not None, f"checkpoint {step} missing in {logdir}"
     act = agent.jit_act()
@@ -138,9 +139,9 @@ def evaluate_checkpoint(agent: ManiGaussianBCAgent, logdir: str, step: int,
                 from manigaussian_tpu.utils.video import EpisodeRecorder
                 rec = EpisodeRecorder()
             outcomes.append(
-                rollout_episode(agent, state.params, env, e, episode_length,
-                                sent, toks, act_fn=act, with_length=True,
-                                recorder=rec))
+                rollout_episode(agent, state.params, env, episode_offset + e,
+                                episode_length, sent, toks, act_fn=act,
+                                with_length=True, recorder=rec))
             if rec is not None:
                 rec.save(os.path.join(logdir, "videos",
                                       f"{task}_step{step}_ep{e}"))
@@ -165,10 +166,14 @@ def evaluate_checkpoint(agent: ManiGaussianBCAgent, logdir: str, step: int,
 def run_eval(agent: ManiGaussianBCAgent, logdir: str, env: EnvClient,
              tasks: Sequence[str], eval_type="last", eval_episodes: int = 25,
              episode_length: int = 25, lang_model=None,
-             state_like=None, record_every_n: int = 0) -> List[Dict[str, float]]:
+             state_like=None, record_every_n: int = 0,
+             episode_offset: int = 0) -> List[Dict[str, float]]:
     """Full eval pass (eval.py eval_seed semantics, serial over checkpoints).
     record_every_n > 0 saves a GIF of every n-th episode under
-    <logdir>/videos/ (cinematic-recorder analog, conf/eval.yaml)."""
+    <logdir>/videos/ (cinematic-recorder analog, conf/eval.yaml).
+    episode_offset > 0 starts rollouts at that stored-episode index — held-out
+    eval on episodes the replay fill never saw (train on 0..demos-1, eval from
+    demos up)."""
     steps = select_checkpoints(logdir, eval_type, tasks)
     rows = []
     env.launch()
@@ -177,7 +182,8 @@ def run_eval(agent: ManiGaussianBCAgent, logdir: str, env: EnvClient,
             row = evaluate_checkpoint(agent, logdir, step, env, tasks,
                                       eval_episodes, episode_length,
                                       lang_model, state_like,
-                                      record_every_n=record_every_n)
+                                      record_every_n=record_every_n,
+                                      episode_offset=episode_offset)
             append_eval_csv(logdir, row)
             rows.append(row)
     finally:
@@ -244,7 +250,8 @@ def _eval_worker(payload):
     """Spawn-context worker: build agent+env+lang from the config and evaluate
     ONE checkpoint. Runs in a fresh interpreter — force the platform before
     any device query (workers must never contend for the single TPU claim)."""
-    (cfg, logdir, step, demo_root, env_kind, eval_episodes, platform) = payload
+    (cfg, logdir, step, demo_root, env_kind, eval_episodes, platform,
+     episode_offset) = payload
     if platform:
         jax.config.update("jax_platforms", platform)
 
@@ -263,7 +270,7 @@ def _eval_worker(payload):
         return evaluate_checkpoint(agent, logdir, step, env,
                                    cfg.rlbench.tasks, eval_episodes,
                                    cfg.rlbench.episode_length, lang,
-                                   state_like)
+                                   state_like, episode_offset=episode_offset)
     finally:
         env.shutdown()
 
@@ -271,7 +278,8 @@ def _eval_worker(payload):
 def run_eval_parallel(cfg, logdir: str, demo_root: str, env_kind: str,
                       eval_type="missing", eval_episodes: int = 25,
                       num_workers: int = 2,
-                      platform: Optional[str] = None) -> List[Dict[str, float]]:
+                      platform: Optional[str] = None,
+                      episode_offset: int = 0) -> List[Dict[str, float]]:
     """Evaluate selected checkpoints concurrently, one subprocess per
     checkpoint bounded by `num_workers` (reference eval.py:154-172). The
     parent does every CSV write, in checkpoint order."""
@@ -280,7 +288,8 @@ def run_eval_parallel(cfg, logdir: str, demo_root: str, env_kind: str,
     steps = select_checkpoints(logdir, eval_type, cfg.rlbench.tasks)
     if not steps:
         return []
-    payloads = [(cfg, logdir, s, demo_root, env_kind, eval_episodes, platform)
+    payloads = [(cfg, logdir, s, demo_root, env_kind, eval_episodes, platform,
+                 episode_offset)
                 for s in steps]
     if num_workers <= 1 or len(steps) == 1:
         rows = [_eval_worker(p) for p in payloads]
