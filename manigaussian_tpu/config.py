@@ -287,34 +287,54 @@ def w_geo_sem_dyna() -> ManiGaussianConfig:
         use_dynamic_field=True, lambda_dyna=0.1, render_freq=2000)))
 
 
-def micro_w_geo(tasks=("open_drawer",), iterations: int = 3000,
-                save_freq: int = 500, batch_size: int = 4,
-                lr: float = 2e-3) -> ManiGaussianConfig:
-    """CI/artifact-scale w_geo: tiny dims so seeds train on CPU in minutes.
+def micro_variant(variant: str = "w_geo", tasks=("open_drawer",),
+                  iterations: int = 3000, save_freq: int = 500,
+                  batch_size: int = 4, lr: float = 2e-3,
+                  camera_resolution: Tuple[int, int] = (32, 32),
+                  ) -> ManiGaussianConfig:
+    """CI/artifact-scale downsizing of ANY launch tier: tiny dims so seeds
+    train on CPU in minutes, with the tier's loss structure intact
+    (use_dynamic_field / foundation_model_name / lambdas come from the
+    variant, so dyna_loss and embed_loss behave exactly as at full scale).
 
     LAMB's layer-wise trust ratio caps every layer at ~lr relative change per
     step (utils/optimizers.py), so total optimization progress ≈ iters × lr.
     The reference budget is 100k × 5e-4 = 50; a micro run must raise lr (and
     batch size, against bs-1 gradient noise) to converge inside a CI budget —
     3000 × 2e-3 = 6 suffices at this scale (R4 learning diagnostic,
-    scripts/diagnose_learning.py)."""
-    cfg = w_geo()
+    scripts/diagnose_learning.py). The dyna warm-up gate shrinks with the
+    schedule (reference next_mlp.warm_up=3000 over 100k iters → 300 here)."""
+    cfg = VARIANTS[variant]()
     m = _rep(
         cfg.method, voxel_sizes=(20,), num_latents=32, latent_dim=32,
         transformer_depth=1, cross_dim_head=8, latent_dim_head=8,
         final_dim=16, policy_dtype="float32", grad_clip_norm=5.0, lr=lr,
         neural_renderer=_rep(
             cfg.method.neural_renderer, image_width=32, image_height=32,
-            d_latent=16, tile_capacity=64, max_tiles_per_gaussian=4, chunk=32,
+            # capacities sized for the ray-cast scene fixtures: the table
+            # plane concentrates splats per tile once scales train up
+            # (64/4 overflowed mid-training; 512/8 is free at this scale)
+            d_latent=16, tile_capacity=512, max_tiles_per_gaussian=8,
+            chunk=32,
             mlp=_rep(cfg.method.neural_renderer.mlp,
-                     n_blocks=2, d_hidden=32)))
+                     n_blocks=2, d_hidden=32),
+            next_mlp=_rep(cfg.method.neural_renderer.next_mlp,
+                          n_blocks=2, d_hidden=32, warm_up=300)))
     return _rep(
         cfg, method=m,
         rlbench=_rep(cfg.rlbench, tasks=tuple(tasks), demos=2,
-                     camera_resolution=(16, 16), episode_length=8),
+                     camera_resolution=camera_resolution, episode_length=8),
         replay=_rep(cfg.replay, use_disk=False, batch_size=batch_size),
         framework=_rep(cfg.framework, training_iterations=iterations,
                        save_freq=save_freq, log_freq=25, use_wandb=False))
+
+
+def micro_w_geo(tasks=("open_drawer",), iterations: int = 3000,
+                save_freq: int = 500, batch_size: int = 4,
+                lr: float = 2e-3) -> ManiGaussianConfig:
+    """Tier-1 micro config (see micro_variant)."""
+    return micro_variant("w_geo", tasks, iterations, save_freq, batch_size,
+                         lr)
 
 
 VARIANTS = {

