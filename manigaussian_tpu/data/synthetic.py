@@ -49,6 +49,17 @@ _BG_DEPTH = 3.5            # inside znear/zfar (0.1/4.0), outside scene bounds
 _PLANE_Z = 0.75
 _LIGHT = np.array([0.3, -0.5, 0.8]) / np.linalg.norm([0.3, -0.5, 0.8])
 
+# per-camera eye offsets from the scene center (RLBench's five-camera rig,
+# rlbench/observation_config.py:59-77; poses chosen to keep _look_at
+# non-degenerate). Unknown camera names fall back to the front viewpoint.
+_CAMERA_EYES = {
+    "front": (0.0, -0.8, 0.5),
+    "overhead": (0.25, 0.05, 0.95),
+    "left_shoulder": (-0.55, 0.5, 0.45),
+    "right_shoulder": (-0.55, -0.5, 0.45),
+    "wrist": (0.4, 0.1, 0.3),
+}
+
 
 def _look_at(eye, target, up=(0.0, 0.0, 1.0)):
     """c2w pose with +z forward (OpenCV convention, matches RLBench cameras)."""
@@ -193,14 +204,19 @@ def generate_task(root: str, task: str, num_episodes: int = 2,
             rng, pos[np.asarray(kps, int)] if kps else pos[:0],
             num_distractors)
 
-        front_pose = _look_at(center + np.array([0.0, -0.8, 0.5]), center)
         intr = _intrinsics(h, w, focal=float(w))
-        rgb = np.empty((timesteps, h, w, 3), np.uint8)
-        depth = np.empty((timesteps, h, w), np.float32)
+        cam_pose = {c: _look_at(center + np.array(
+            _CAMERA_EYES.get(c, _CAMERA_EYES["front"])), center)
+            for c in cameras}
+        cam_rgb = {c: np.empty((timesteps, h, w, 3), np.uint8)
+                   for c in cameras}
+        cam_depth = {c: np.empty((timesteps, h, w), np.float32)
+                     for c in cameras}
         for t in range(timesteps):
             spheres = _scene_spheres(pos, gripper_open, kps, t, distractors)
-            rgb[t], depth[t] = render_scene(front_pose, intr, h, w, spheres,
-                                            rng=rng, noise=noise)
+            for c in cameras:
+                cam_rgb[c][t], cam_depth[c][t] = render_scene(
+                    cam_pose[c], intr, h, w, spheres, rng=rng, noise=noise)
 
         # nerf views: ring cameras rendering the SAME scene state as frame t
         ring = []
@@ -224,13 +240,13 @@ def generate_task(root: str, task: str, num_episodes: int = 2,
 
         ep.write_episode(
             root, task, e,
-            rgb={c: rgb for c in cameras},
-            depth={c: depth for c in cameras},
+            rgb=cam_rgb,
+            depth=cam_depth,
             low_dim=dict(
                 gripper_open=gripper_open, gripper_pose=gripper_pose,
                 gripper_joint_positions=grip_joints,
                 joint_velocities=joint_vel, ignore_collisions=ignore_coll),
-            camera_extrinsics={c: np.tile(front_pose, (timesteps, 1, 1))
+            camera_extrinsics={c: np.tile(cam_pose[c], (timesteps, 1, 1))
                                for c in cameras},
             camera_intrinsics={c: np.tile(intr, (timesteps, 1, 1))
                                for c in cameras},
