@@ -190,6 +190,14 @@ def create_feature_extractor(name: Optional[str],
             UserWarning, stacklevel=2)
         return StubFeatureExtractor()
     if name == "diffusion":
+        if checkpoint_dir == "random-init":
+            # the REAL ODISE compute path with random-init VAE weights:
+            # compute-identical to the released checkpoint (same graph, same
+            # cost — R4_SWEEP sd_vae_extractor), features not semantic.
+            # For campaigns in zero-egress environments where the 'does the
+            # embed loss optimize at flagship scale' question must be
+            # answered with the production extractor in the loop.
+            return SDVaeFeatureExtractor(None)
         if checkpoint_dir and os.path.isfile(checkpoint_dir):
             return SDVaeFeatureExtractor(checkpoint_dir)
         warnings.warn(
@@ -211,9 +219,19 @@ class SDVaeFeatureExtractor:
     ldm.py:70-71), VAE encode → clean-latent decode → decoder tap -1
     ([B, 128, 128, 512] for 512² input), resized back to the input size."""
 
-    def __init__(self, checkpoint_path: str, feature_hw: int = 512):
+    def __init__(self, checkpoint_path: Optional[str],
+                 feature_hw: int = 512):
         from manigaussian_tpu.models import sd_vae as sv
 
+        if checkpoint_path is None:
+            # random-init: init at 64² (conv params are resolution-
+            # independent) to keep host init cheap; apply at feature_hw
+            self.model = sv.SDVae()
+            self.variables = self.model.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+            self.feature_hw = feature_hw
+            self._apply = jax.jit(self.model.apply)
+            return
         if str(checkpoint_path).endswith(".msgpack"):
             from manigaussian_tpu.tools.convert_weights import load_converted
             payload = load_converted(checkpoint_path)
