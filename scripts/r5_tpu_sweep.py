@@ -28,6 +28,16 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Persistent compilation cache (same setup as train.py / __graft_entry__):
+# the four flagship tier steps cost ~10 min each through the remote-compile
+# tunnel; cache hits make re-runs near-instant.
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 "/root/.cache/jax_comp"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 OUT = "R5_SWEEP.jsonl"
 PROF_DIR = "/tmp/r5_prof"
 
