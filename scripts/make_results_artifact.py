@@ -44,17 +44,28 @@ def run(out_dir: str, variant: str = "w_geo", seeds: int = 3,
         tasks=tuple(TASKS), iterations: int = 3000,
         save_freq: int = 250, episodes: int = HELD_OUT_EPISODES,
         workers: int = 2, demo_root: str | None = None,
-        work_dir: str | None = None, cpu_devices: int = 2) -> dict:
+        work_dir: str | None = None, cpu_devices: int = 2,
+        platform: str = "cpu") -> dict:
     import jax
-    jax.config.update("jax_platforms", "cpu")
-    try:
-        jax.config.update("jax_num_cpu_devices", cpu_devices)
-    except RuntimeError:
-        # Backends already initialized with a different CPU device count
-        # (e.g. under pytest, whose conftest forces 8 virtual devices before
-        # any test runs). Any count works — the artifact run only needs the
-        # CPU platform; proceed with whatever is live.
-        pass
+    if platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        try:
+            jax.config.update("jax_num_cpu_devices", cpu_devices)
+        except RuntimeError:
+            # Backends already initialized with a different CPU device count
+            # (e.g. under pytest, whose conftest forces 8 virtual devices
+            # before any test runs). Any count works — the artifact run only
+            # needs the CPU platform; proceed with whatever is live.
+            pass
+    else:
+        # TPU path (the 4-variant x 3-seed regen is CPU-bound on the 4-core
+        # host: ~0.3 steps/s under contention vs dispatch-limited on-chip).
+        # Training holds the single TPU claim; eval rollouts still run in
+        # CPU-forced worker subprocesses (run_eval_parallel platform="cpu").
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                         "/root/.cache/jax_comp"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     import dataclasses
 
@@ -150,12 +161,16 @@ def main():
                              "demos..demos+N-1, never in the replay)")
     parser.add_argument("--workers", type=int, default=2)
     parser.add_argument("--keep-work", action="store_true")
+    parser.add_argument("--platform", default="cpu",
+                        help="'cpu' (default) or 'tpu': device for the train "
+                             "loop (eval workers always run CPU-forced)")
     args = parser.parse_args()
     for variant in args.variants:
         out = os.path.join(args.out, variant)
         run(out, variant=variant, seeds=args.seeds,
             iterations=args.iterations, save_freq=args.save_freq,
-            episodes=args.episodes, workers=args.workers)
+            episodes=args.episodes, workers=args.workers,
+            platform=args.platform)
         if not args.keep_work:
             shutil.rmtree(os.path.join(out, "_work"), ignore_errors=True)
 
