@@ -67,6 +67,7 @@ class QFunction(nn.Module):
             pad_mode=getattr(m, "policy_pad_mode", "edge"),
             conv_impl=getattr(m, "policy_conv_impl", "xla"),
             unet_impl=getattr(m, "policy_unet_impl", "xla"),
+            attn_impl=getattr(m, "policy_attn_impl", "xla"),
             depth=m.transformer_depth,
             iterations=m.transformer_iterations,
             voxel_size=m.voxel_sizes[0],

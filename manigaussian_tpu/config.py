@@ -139,6 +139,11 @@ class MethodConfig:
     # (R4_SWEEP.jsonl) — flagship w_geo full step 4.70 steps/s (212.6 ms) vs
     # 4.39 (227.7 ms) with 'xla'.
     policy_unet_impl: str = "packed"
+    # latent self-attention impl: 'xla' | 'flash' (ops/flash_attention.py —
+    # Pallas kernel keeping the [H,2048,2048] probabilities in VMEM; the XLA
+    # path's fp32 prob tensor is ~26 ms/step of HBM traffic at flagship
+    # shapes, R5_SWEEP.jsonl hlo_attribution).
+    policy_attn_impl: str = "xla"
     # training
     input_dropout: float = 0.1
     attn_dropout: float = 0.1

@@ -39,15 +39,25 @@ from manigaussian_tpu.models.unet3d import VoxelUNetShallow
 
 
 class Attention(nn.Module):
-    """Multi-head attention, optionally cross (parity: perceiver_lang_io.py:102-145)."""
+    """Multi-head attention, optionally cross (parity: perceiver_lang_io.py:102-145).
+
+    impl='flash' routes SELF-attention through the Pallas flash kernel
+    (ops/flash_attention.py): identical math — fp32 softmax over the scaled
+    bf16 score matmul, dropout on the probabilities — but the [H, N, N]
+    probability tensor never leaves VMEM (the XLA path's dominant HBM cost at
+    N=2048, R5_SWEEP.jsonl `hlo_attribution`). Cross attention and shapes the
+    kernel cannot block evenly fall back to the XLA path.
+    """
 
     heads: int = 8
     dim_head: int = 64
     dropout: float = 0.0
     dtype: Any = jnp.float32
+    impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, context=None, deterministic: bool = True):
+        is_self = context is None
         context = x if context is None else context
         inner = self.heads * self.dim_head
         q = nn.Dense(inner, use_bias=False, name="to_q", dtype=self.dtype)(x)
@@ -61,12 +71,26 @@ class Attention(nn.Module):
 
         q, k, v = map(split_heads, (q, k, v))
         scale = self.dim_head ** -0.5
-        logits = jnp.einsum("bhid,bhjd->bhij", q * scale, k,
-                            preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(logits, axis=-1)   # fp32 (preferred_element_type)
-        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-        out = jnp.einsum("bhij,bhjd->bhid", attn.astype(v.dtype), v,
-                         preferred_element_type=jnp.float32)
+        n = q.shape[2]
+        bq = 256 if n % 256 == 0 else (n if n <= 256 else 0)
+        if self.impl == "flash" and is_self and bq:
+            from manigaussian_tpu.ops.flash_attention import \
+                flash_self_attention
+            rate = 0.0 if deterministic else float(self.dropout)
+            seed = None
+            if rate > 0.0:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (1,), 0, 2 ** 31 - 1,
+                    dtype=jnp.int32)
+            out = flash_self_attention(q, k, v, dropout_rate=rate,
+                                       dropout_seed=seed, block_q=bq)
+        else:
+            logits = jnp.einsum("bhid,bhjd->bhij", q * scale, k,
+                                preferred_element_type=jnp.float32)
+            attn = jax.nn.softmax(logits, axis=-1)  # fp32 (preferred_element_type)
+            attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+            out = jnp.einsum("bhij,bhjd->bhid", attn.astype(v.dtype), v,
+                             preferred_element_type=jnp.float32)
         b, _, n, _ = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
         return nn.Dense(x.shape[-1], name="to_out", dtype=self.dtype)(out)
@@ -92,13 +116,14 @@ class PreNormAttention(nn.Module):
     dropout: float = 0.0
     cross: bool = False
     dtype: Any = jnp.float32
+    impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, context=None, deterministic: bool = True):
         xn = nn.LayerNorm()(x)
         cn = nn.LayerNorm()(context) if self.cross else None
         return Attention(self.heads, self.dim_head, self.dropout,
-                         dtype=self.dtype)(
+                         dtype=self.dtype, impl=self.impl)(
             xn, context=cn, deterministic=deterministic)
 
 
@@ -148,6 +173,9 @@ class PerceiverVoxelLangEncoder(nn.Module):
     conv_impl: str = "xla"
     # voxel U-Net encoder impl (MethodConfig.policy_unet_impl)
     unet_impl: str = "xla"
+    # latent self-attention impl (MethodConfig.policy_attn_impl):
+    # 'xla' | 'flash' (ops/flash_attention.py Pallas kernel)
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, voxel_grid: jnp.ndarray, proprio: jnp.ndarray,
@@ -211,6 +239,7 @@ class PerceiverVoxelLangEncoder(nn.Module):
         cross_ff = PreNormFF(dtype=self.dtype, name="cross_ff")
         self_blocks = [(PreNormAttention(self.latent_heads, self.latent_dim_head,
                                          self.attn_dropout, dtype=self.dtype,
+                                         impl=self.attn_impl,
                                          name=f"self_attn_{i}"),
                         PreNormFF(dtype=self.dtype, name=f"self_ff_{i}"))
                        for i in range(self.depth)]
