@@ -255,3 +255,29 @@ class SDVaeFeatureExtractor:
         feats = out["decoder_features"][-1]
         return jax.image.resize(feats, (b, h, w, feats.shape[-1]),
                                 method="bilinear")
+
+    def make_embed_fn(self, d_embed: int = 3):
+        """One jitted (variables, rgb) → [B, H, W, d_embed] GT-embed pipeline
+        (resize → VAE → decoder tap → resize → per-image PCA).
+
+        The weights are jit ARGUMENTS, not closure constants: wrapping
+        `extract_gt_embed(extractor=self)` in an outer jax.jit bakes the
+        whole VAE state into the HLO as literals, and this environment's
+        remote-compile tunnel rejects the oversized request (HTTP 413 —
+        r5 flagship campaign failure mode)."""
+        model, feature_hw = self.model, self.feature_hw
+
+        @jax.jit
+        def run(variables, rgb):
+            b, h, w, _ = rgb.shape
+            img = jax.image.resize(rgb, (b, feature_hw, feature_hw, 3),
+                                   method="bilinear")
+            out = model.apply(variables, img * 2.0 - 1.0)
+            feats = out["decoder_features"][-1]
+            feats = jax.image.resize(feats, (b, h, w, feats.shape[-1]),
+                                    method="bilinear")
+            proj = pca_to_channels_batch(
+                feats.reshape(b, h * w, feats.shape[-1]), d_embed)
+            return proj.reshape(b, h, w, d_embed)
+
+        return lambda rgb: run(self.variables, rgb)

@@ -84,3 +84,18 @@ def test_semantic_train_step():
     _, metrics = agent.update(state, batch, jax.random.PRNGKey(2))
     assert float(metrics["embed_loss"]) != 0.0
     assert np.isfinite(float(metrics["total_loss"]))
+
+
+def test_sd_vae_make_embed_fn_matches_extract_gt_embed():
+    """SDVaeFeatureExtractor.make_embed_fn (weights as jit ARGUMENTS — the
+    outer-jit closure variant bakes the VAE params into the HLO and the
+    remote-compile tunnel rejects it, r5 campaign) produces the same GT
+    embed as the generic extract_gt_embed path."""
+    from manigaussian_tpu.models.foundation import SDVaeFeatureExtractor
+
+    ex = SDVaeFeatureExtractor(None, feature_hw=64)
+    rgb = jax.random.uniform(jax.random.PRNGKey(0), (1, 32, 32, 3))
+    a = ex.make_embed_fn(3)(rgb)
+    b = extract_gt_embed(rgb, ex, 3)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=2e-4, rtol=2e-4)

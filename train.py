@@ -165,14 +165,23 @@ def _run_seed(args, cfg, seed):
                                                         extract_gt_embed)
         extractor = create_feature_extractor(
             fm_name, cfg.method.neural_renderer.foundation_checkpoint)
-        embed_fn = functools.partial(
-            extract_gt_embed, extractor=extractor,
-            d_embed=cfg.method.neural_renderer.d_embed)
-        # jit only pure-jax extractors; the transformers-backed ones run
-        # torch inside __call__ and cannot trace
-        from manigaussian_tpu.models.foundation import DINOv2FeatureExtractor
-        if not isinstance(extractor, DINOv2FeatureExtractor):
-            embed_fn = jax.jit(embed_fn)
+        if hasattr(extractor, "make_embed_fn"):
+            # extractors carrying large param trees (SD-VAE) build their own
+            # jit with the weights as ARGUMENTS — an outer jit closure bakes
+            # them into the HLO as constants and the remote-compile tunnel
+            # rejects the oversized request (HTTP 413)
+            embed_fn = extractor.make_embed_fn(
+                cfg.method.neural_renderer.d_embed)
+        else:
+            embed_fn = functools.partial(
+                extract_gt_embed, extractor=extractor,
+                d_embed=cfg.method.neural_renderer.d_embed)
+            # jit only pure-jax extractors; the transformers-backed ones run
+            # torch inside __call__ and cannot trace
+            from manigaussian_tpu.models.foundation import \
+                DINOv2FeatureExtractor
+            if not isinstance(extractor, DINOv2FeatureExtractor):
+                embed_fn = jax.jit(embed_fn)
 
     batches = BatchIterator(
         replay, cfg.replay.batch_size, seed=seed,
