@@ -74,9 +74,9 @@ def gen_dataset(demo_root: str, demos: int = DEMOS) -> float:
     return time.perf_counter() - t0
 
 
-def build_cfg(variant: str, iters: int):
+def build_cfg(variant: str, iters: int, resume: bool = False):
     from manigaussian_tpu.utils.config_io import load_config
-    overrides = [
+    overrides = (["framework.load_existing_weights=true"] if resume else []) + [
         f"rlbench.tasks=[{','.join(TASKS)}]",
         f"rlbench.demos={DEMOS}",
         f"framework.training_iterations={iters}",
@@ -197,19 +197,29 @@ def main():
     parser.add_argument("--iters", type=int, default=10010)
     parser.add_argument("--skip-feed", action="store_true")
     parser.add_argument("--demos", type=int, default=DEMOS)
+    parser.add_argument("--resume", action="store_true",
+                        help="continue a previous campaign run from its last "
+                             "checkpoint (framework.load_existing_weights)")
     args = parser.parse_args()
 
     os.makedirs(WORK, exist_ok=True)
     demo_root = os.path.join(WORK, "demos")
     gen_s = gen_dataset(demo_root, args.demos)
 
-    cfg = build_cfg(args.variant, args.iters)
+    cfg = build_cfg(args.variant, args.iters, resume=args.resume)
     feed = {} if args.skip_feed else measure_feed_rate(cfg, demo_root)
 
     t0 = time.perf_counter()
     logdir = train(cfg, args.variant, demo_root)
     wall_s = time.perf_counter() - t0
     collect(args.variant, logdir, feed, gen_s, wall_s)
+    sys.stdout.flush()
+    sys.stderr.flush()
+    # the axon plugin's C++ teardown aborts the interpreter on exit in this
+    # environment ("terminate called ... FATAL: exception not rethrown"),
+    # turning a fully-successful campaign into rc!=0; all artifacts are
+    # already on disk — skip the destructors.
+    os._exit(0)
 
 
 if __name__ == "__main__":
