@@ -125,6 +125,7 @@ class QFunction(nn.Module):
             tile=r.tile, max_tiles_per_gaussian=r.max_tiles_per_gaussian,
             tile_capacity=r.tile_capacity, chunk=r.chunk, backend=r.backend,
             tile_mesh=self.tile_mesh,
+            feature_norm_eps=getattr(r, "feature_norm_eps", 1e-6),
             name="neural_renderer")
 
     @nn.compact

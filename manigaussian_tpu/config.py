@@ -61,6 +61,14 @@ class NeuralRendererConfig:
     foundation_checkpoint: Optional[str] = None
     d_embed: int = 3
     loss_embed_fn: str = "cosine"
+    # eps of the pre-blend language-feature L2-normalize. The normalize
+    # backward amplifies cosine-loss gradients by up to 1/eps for near-zero
+    # features; 1e-6 matches reference F.normalize semantics, but at
+    # flagship scale the embed head's ignition then destabilizes the shared
+    # trunk (r5 campaign: BC trans_loss 3→13). 1e-2 bounds amplification at
+    # 100× and differs from exact normalize only for features with norm
+    # < 0.01 (rendering/neural_renderer.py).
+    feature_norm_eps: float = 1e-6
     d_latent: int = 128
     d_lang: int = 128
     image_width: int = 128

@@ -56,7 +56,8 @@ class RenderResult(NamedTuple):
 
 
 def _render_batch(params: dict, cameras, cfg: RasterizeConfig, bg_color,
-                  tile_mesh=None, tile_axis: str = "tile"):
+                  tile_mesh=None, tile_axis: str = "tile",
+                  feature_norm_eps: float = 1e-6):
     """vmap the tile rasterizer over the batch of per-point gaussian params.
 
     With `tile_mesh` set, each sample renders through the tile-sharded
@@ -75,7 +76,8 @@ def _render_batch(params: dict, cameras, cfg: RasterizeConfig, bg_color,
         # ‖·‖'s own gradient at exactly zero is NaN even under the max
         # (see models/gaussian_regressor._safe_normalize).
         feat = feat / jnp.sqrt(jnp.maximum(
-            jnp.sum(feat * feat, axis=-1, keepdims=True), 1e-12))
+            jnp.sum(feat * feat, axis=-1, keepdims=True),
+            feature_norm_eps * feature_norm_eps))
         if tile_mesh is not None:
             out, extras = rasterize_sharded(
                 tile_mesh, xyz, opacity[..., 0], camera, cfg, bg_color,
@@ -120,6 +122,15 @@ class NeuralRenderer(nn.Module):
     # attribute (Mesh is hashable), set by QFunction from the agent config.
     tile_mesh: Optional[object] = None
     tile_axis: str = "tile"
+    # eps for the pre-blend L2-normalize of per-gaussian language features.
+    # The normalize backward amplifies upstream gradients by up to 1/eps for
+    # near-zero features — a fresh regressor's ~0 embeddings route
+    # (1/eps)-scale cosine-loss gradients into the shared trunk the moment
+    # the embed head ignites (r5 flagship sem_dyna campaign: BC trans_loss
+    # 3 → 13 exactly when embed_loss left 1.0). 1e-6 keeps reference
+    # F.normalize semantics; raise (e.g. 1e-2, bounding amplification at
+    # 100×) to stabilize embed-supervised tiers at flagship scale.
+    feature_norm_eps: float = 1e-6
 
     def _raster_cfg(self) -> RasterizeConfig:
         return RasterizeConfig(
@@ -171,7 +182,8 @@ class NeuralRenderer(nn.Module):
 
         (render_novel, render_embed), (ov_s, ov_g) = _render_batch(
             params, cameras, cfg, bg, tile_mesh=self.tile_mesh,
-            tile_axis=self.tile_axis)
+            tile_axis=self.tile_axis,
+            feature_norm_eps=self.feature_norm_eps)
 
         next_render = None
         if self.use_dynamic_field and next_gt_pose is not None:
@@ -182,7 +194,8 @@ class NeuralRenderer(nn.Module):
             def render_next(_):
                 (img, _feat), _ov = _render_batch(
                     params["next"], next_cameras, cfg, bg,
-                    tile_mesh=self.tile_mesh, tile_axis=self.tile_axis)
+                    tile_mesh=self.tile_mesh, tile_axis=self.tile_axis,
+                    feature_norm_eps=self.feature_norm_eps)
                 return img
 
             # Warm-up gate via lax.cond, NOT `0 × loss`: the reference computes

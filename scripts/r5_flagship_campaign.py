@@ -145,7 +145,17 @@ def collect(variant: str, logdir: str, feed: dict, gen_s: float,
     os.makedirs(out, exist_ok=True)
 
     train_csv = os.path.join(logdir, "train_data.csv")
-    shutil.copyfile(train_csv, os.path.join(out, "train.csv"))
+    out_csv = os.path.join(out, "train.csv")
+    if os.path.exists(out_csv):
+        # resumed runs log a FRESH train_data.csv from their start iteration
+        # (MetricLogger rewrites); merge with the previously collected
+        # segment so the artifact keeps the whole curve
+        old = pd.read_csv(out_csv)
+        new = pd.read_csv(train_csv)
+        pd.concat([old[~old.step.isin(new.step)], new]) \
+            .sort_values("step").to_csv(out_csv, index=False)
+    else:
+        shutil.copyfile(train_csv, out_csv)
     for p in (os.path.join(logdir, "config.json"),):
         if os.path.exists(p):
             shutil.copyfile(p, os.path.join(out, "config.json"))
@@ -157,7 +167,7 @@ def collect(variant: str, logdir: str, feed: dict, gen_s: float,
         shutil.copyfile(panels[idx],
                         os.path.join(out, os.path.basename(panels[idx])))
 
-    df = pd.read_csv(train_csv)
+    df = pd.read_csv(out_csv)   # merged curve (all resume segments)
     num = df.select_dtypes("number")
     loss_cols = [c for c in df.columns if c.endswith("_loss")]
     tail = df.tail(max(3, len(df) // 10))
