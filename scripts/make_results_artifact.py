@@ -88,6 +88,14 @@ def run(out_dir: str, variant: str = "w_geo", seeds: int = 3,
     # and the lr/batch overrides make LAMB converge inside the micro budget
     # (see micro_variant docstring + scripts/diagnose_learning.py)
     cfg = C.micro_variant(variant, tasks, iterations, save_freq)
+    if platform != "cpu":
+        # the micro renderer chunk (32) is CPU-interpret-friendly; the TPU
+        # Pallas blend requires lane-aligned chunks (multiple of 128).
+        # Blocking only — same blend result up to fp order.
+        nr = cfg.method.neural_renderer
+        cfg = dataclasses.replace(cfg, method=dataclasses.replace(
+            cfg.method, neural_renderer=dataclasses.replace(
+                nr, chunk=max(128, nr.chunk))))
     h, w = cfg.rlbench.camera_resolution
     img = cfg.method.neural_renderer.image_height
 
