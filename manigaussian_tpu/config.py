@@ -150,8 +150,11 @@ class MethodConfig:
     # latent self-attention impl: 'xla' | 'flash' (ops/flash_attention.py —
     # Pallas kernel keeping the [H,2048,2048] probabilities in VMEM; the XLA
     # path's fp32 prob tensor is ~26 ms/step of HBM traffic at flagship
-    # shapes, R5_SWEEP.jsonl hlo_attribution).
-    policy_attn_impl: str = "xla"
+    # shapes, R5_SWEEP.jsonl hlo_attribution). Default 'flash': measured on
+    # v5e — flagship w_geo full step 6.09 steps/s (164.3 ms) vs 5.26
+    # (190.2 ms) with 'xla'; standalone layer fwd+bwd 1.28 ms vs 2.51 ms
+    # (R5_SWEEP.jsonl tier_step_attn / attn_micro rows).
+    policy_attn_impl: str = "flash"
     # training
     input_dropout: float = 0.1
     attn_dropout: float = 0.1
